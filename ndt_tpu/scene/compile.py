@@ -1,0 +1,491 @@
+"""Scene compiler: host ``Scene`` -> device ``SceneData`` SoA pytree.
+
+This replaces the reference's dlopen plugin dispatch (object.c:51-158) and
+per-object lazy ``prepare()`` functions with a single ahead-of-time pass that
+groups objects into vectorized *blocks*, one per intersection kernel family:
+
+  SphereBlock   - sphere                                    (sphere.c)
+  PlaneBlock    - hplane + hdisk (radius2=inf for planes)   (hplane.c, hdisk.c)
+  QuadricBlock  - cylinder, hcylinder, orthotope: the shared
+                  "project out K axes, solve a quadratic in the orthogonal
+                  complement, slab-test the axis projections" family
+                  (cylinder.c:104-210, hcylinder.c:132-244,
+                  orthotope.c:150-302); orthotope additionally enables the
+                  closest-approach 'slab' fallback
+  FacetBlock    - triangles via plane closest-approach + vertex-angle
+                  inside test                               (facet.c:166-269)
+  HFacetBlock   - triangles via the ones-vector linear solve + barycentric
+                  inside test                               (hfacet.c:211-310)
+
+Composite objects are flattened at compile time:
+  hcube   -> one orthotope leaf per m-face, m=2..D-1 (hcube.c:33-152), all
+             reporting the hcube's material id (hcube.c:244-247 sets
+             *ptr = hcube)
+  cluster -> its children (cluster.c:246-256 reports the child)
+  hdisk   -> a plane leaf with a finite radius (hdisk.c:61-85)
+
+Every leaf also gets the Nelder-Mead bounding sphere the C computes lazily
+(object.c:582-603), used by the vectorized cull mask in render/trace.py.
+
+Axis-based precomputation ("prepped" data in C) is stored so that the device
+kernels need only matmuls ([R,D]@[D,N] -> MXU) and [R,N] elementwise VPU ops;
+no [R,N,D] intermediates exist anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+from flax import struct
+
+from ndt_tpu import mathnd
+from ndt_tpu.constants import BIG, EPSILON
+from ndt_tpu.scene.model import LightType, Object, Scene
+
+
+@struct.dataclass
+class SphereBlock:
+    center: object      # [n, D]
+    radius2: object     # [n]
+    mat_id: object      # [n] int32
+    b_center: object    # [n, D] bounding sphere (cull)
+    b_radius: object    # [n]
+    shadow_rank: object # [n] int32 infinite-scan position (see _Leaf)
+
+
+@struct.dataclass
+class PlaneBlock:
+    point: object       # [n, D]
+    normal: object      # [n, D]  (raw, as authored -- hplane.c:49)
+    radius2: object     # [n]  BIG*BIG for hplane, r^2 for hdisk
+    mat_id: object
+    b_center: object
+    b_radius: object
+    shadow_rank: object
+
+
+@struct.dataclass
+class QuadricBlock:
+    base: object        # [n, D]  pos[0]
+    axes: object        # [n, A, D] unit axes, zero-padded
+    gram: object        # [n, A, A] axis Gram matrix (0 rows/cols for pads)
+    lo: object          # [n, A] axis-projection lower bound
+    hi: object          # [n, A] upper bound (padded/infinite: +/-BIG)
+    qc_off: object      # [n] subtracted from Q.Q: r^2, or EPSILON for slabs
+    is_slab: object     # [n] 1.0 where the orthotope fallback path applies
+    mat_id: object
+    b_center: object
+    b_radius: object
+    shadow_rank: object
+
+
+@struct.dataclass
+class FacetBlock:
+    verts: object       # [n, 3, D]
+    edges: object       # [n, 3, D]  edge[i] = v[(i+1)%3] - v[i]
+    basis: object       # [n, 2, D]  orthonormal plane basis
+    cos_angles: object  # [n, 3]  cos of interior vertex angles
+    normal: object      # [n, D]  dir[0], used uniformly (facet.c:257)
+    mat_id: object
+    b_center: object
+    b_radius: object
+    shadow_rank: object
+
+
+@struct.dataclass
+class HFacetBlock:
+    verts: object       # [n, 3, D]
+    ue0: object         # [n, D] unit edge0
+    ep: object          # [n, D] unit edge_perp
+    sum_ue0: object     # [n]  ones . ue0
+    sum_ep: object      # [n]  ones . ep
+    bary_x2: object     # [n]  ue0 . edge0
+    bary_y2: object     # [n]  ep  . edge0
+    bary_x3: object     # [n]  ue0 . edge2r   (edge2r = v2 - v0)
+    bary_y3: object     # [n]  ep  . edge2r
+    use_normals: object # [n]  flag[0]
+    vnormals: object    # [n, 3, D]
+    mat_id: object
+    b_center: object
+    b_radius: object
+    shadow_rank: object
+
+
+@struct.dataclass
+class LightData:
+    """One compiled light; ``kind`` is static so the shading loop
+    specializes per light type (scene.h:16-22, ndt.c:103-314)."""
+
+    kind: int = struct.field(pytree_node=False)
+    pos: object = None
+    dir: object = None       # unit for DIRECTIONAL? no: raw, as authored
+    color: object = None     # [3]
+    angle_deg: object = None
+    radius: object = None
+    u1: object = None
+    v1: object = None
+
+
+@struct.dataclass
+class SceneData:
+    """The full device scene. Block fields are None when the scene has no
+    object of that family."""
+
+    dim: int = struct.field(pytree_node=False)
+    n_materials: int = struct.field(pytree_node=False)
+    has_transparent: bool = struct.field(pytree_node=False)
+
+    spheres: Optional[SphereBlock] = None
+    planes: Optional[PlaneBlock] = None
+    quadrics: Optional[QuadricBlock] = None
+    facets: Optional[FacetBlock] = None
+    hfacets: Optional[HFacetBlock] = None
+
+    # materials, indexed by mat_id
+    color: object = None        # [M, 3]
+    reflect: object = None      # [M, 3]
+    transparent: object = None  # [M] 0/1
+    refract_index: object = None  # [M]
+
+    ambient: object = None      # [3]
+    bg: object = None           # [3]
+    bg_alpha: object = None     # scalar
+
+    lights: tuple = ()          # tuple of LightData
+
+    @property
+    def blocks(self):
+        out = []
+        for b in (self.spheres, self.planes, self.quadrics,
+                  self.facets, self.hfacets):
+            if b is not None:
+                out.append(b)
+        return out
+
+    @property
+    def n_leaves(self):
+        return sum(int(b.mat_id.shape[0]) for b in self.blocks)
+
+
+# --------------------------------------------------------------------------
+# leaf extraction
+
+
+@dataclasses.dataclass
+class _Leaf:
+    kind: str
+    obj: Object
+    mat_id: int
+    # scan position among INFINITE leaves, in scene insertion order; finite
+    # leaves get NOT_INFINITE.  Replicates the reference's shadow-trace
+    # quirk: trace() with dist_limit > 0 breaks at the FIRST object hit
+    # within the limit in scan order (object.c:736-738), and the kd path
+    # scans infinite objects first in insertion order (kd-tree.c:592-594) --
+    # so an infinite occluder listed AFTER the shadow-target never blocks a
+    # point light.  See render/trace.py shadow_trace.
+    shadow_rank: int = 1 << 30
+
+
+NOT_INFINITE = 1 << 30
+
+
+def _hcube_faces(cube: Object) -> List[Object]:
+    """Expand an hcube into orthotope m-faces for m = 2..D-1, replicating
+    add_faces (hcube.c:33-152): each m-subset of the cube's D basis
+    directions spans 2^(D-m) faces placed at every corner combination of the
+    remaining directions."""
+    import itertools
+
+    d = cube.dim
+    center = cube.pos[0]
+    faces = []
+    for m in range(2, d):
+        for dirs in itertools.combinations(range(d), m):
+            dirs_set = set(dirs)
+            others = [i for i in range(d) if i not in dirs_set]
+            for bits in range(1 << (d - m)):
+                pos = center.copy()
+                for bi, i in enumerate(others):
+                    value = (bits >> bi) & 1
+                    pos = pos + cube.dir[i] * (cube.size[i] * (value - 0.5))
+                for i in dirs:
+                    pos = pos + cube.dir[i] * (-0.5 * cube.size[i])
+                face = Object(d, "orthotope", f"{cube.name}:{m}d-face")
+                face.add_flag(m)
+                for i in dirs:
+                    face.add_dir(cube.dir[i] * cube.size[i])
+                face.add_pos(pos)
+                faces.append(face)
+    return faces
+
+
+def _flatten(objects: List[Object]):
+    """Walk the object forest, registering one material per user-visible
+    object and yielding intersectable leaves."""
+    leaves: List[_Leaf] = []
+    materials: List[Object] = []
+
+    def new_mat(obj) -> int:
+        materials.append(obj)
+        return len(materials) - 1
+
+    def walk(obj: Object, mat_id: Optional[int]):
+        t = obj.type_name
+        if t == "cluster":
+            # culling container; children keep their own materials
+            for c in obj.children:
+                walk(c, None)
+            return
+        mid = new_mat(obj) if mat_id is None else mat_id
+        if t == "hcube":
+            for face in _hcube_faces(obj):
+                leaves.append(_Leaf("quadric", face, mid))
+            return
+        if t == "hdisk":
+            leaves.append(_Leaf("plane", obj, mid))
+            return
+        if t == "sphere":
+            leaves.append(_Leaf("sphere", obj, mid))
+        elif t == "hplane":
+            leaves.append(_Leaf("plane", obj, mid))
+        elif t in ("cylinder", "hcylinder", "orthotope"):
+            leaves.append(_Leaf("quadric", obj, mid))
+        elif t == "facet":
+            leaves.append(_Leaf("facet", obj, mid))
+        elif t == "hfacet":
+            leaves.append(_Leaf("hfacet", obj, mid))
+        else:
+            raise ValueError(f"cannot compile object type {t!r}")
+
+    for o in objects:
+        walk(o, None)
+    return leaves, materials
+
+
+def _leaf_bounds(leaf: _Leaf, dim):
+    obj = leaf.obj
+    if obj.bounds_radius is None:
+        obj.get_bounds()
+    return obj.bounds_center, obj.bounds_radius
+
+
+# --------------------------------------------------------------------------
+# per-family block builders (the vectorized "prepare" pass)
+
+
+def _build_spheres(leaves, dim, dt):
+    n = len(leaves)
+    center = np.stack([l.obj.pos[0] for l in leaves])
+    radius2 = np.array([l.obj.size[0] ** 2 for l in leaves])
+    return SphereBlock(
+        center=center.astype(dt), radius2=radius2.astype(dt),
+        mat_id=np.array([l.mat_id for l in leaves], np.int32),
+        **_bounds_arrays(leaves, dim, dt))
+
+
+def _build_planes(leaves, dim, dt):
+    point = np.stack([l.obj.pos[0] for l in leaves])
+    normal = np.stack([l.obj.dir[0] for l in leaves])
+    radius2 = np.array([
+        (l.obj.size[0] ** 2) if l.obj.type_name == "hdisk" else np.inf
+        for l in leaves])
+    return PlaneBlock(
+        point=point.astype(dt), normal=normal.astype(dt),
+        radius2=radius2.astype(dt),
+        mat_id=np.array([l.mat_id for l in leaves], np.int32),
+        **_bounds_arrays(leaves, dim, dt))
+
+
+def _quadric_params(obj: Object):
+    """Per-object (base, unit axes, lo, hi, qc_off, is_slab) replicating the
+    three prepare() functions."""
+    t = obj.type_name
+    if t == "cylinder":
+        base = obj.pos[0]
+        axis = mathnd.unitize(obj.pos[1] - obj.pos[0])
+        length = float(mathnd.dist(obj.pos[1], obj.pos[0]))
+        infinite = len(obj.flag) > 1 and obj.flag[1] != 0
+        lo = [-BIG] if infinite else [0.0]           # cylinder.c:85-102
+        hi = [BIG] if infinite else [length]
+        return base, [axis], lo, hi, obj.size[0] ** 2, False
+    if t == "hcylinder":
+        base = obj.pos[0]
+        axes, lo, hi = [], [], []
+        infinite = len(obj.flag) > 0 and obj.flag[0] != 0
+        for i in range(1, len(obj.pos)):             # hcylinder.c:38-45
+            axes.append(mathnd.unitize(obj.pos[i] - obj.pos[0]))
+            length = float(mathnd.dist(obj.pos[i], obj.pos[0]))
+            lo.append(-BIG if infinite else -EPSILON)  # hcylinder.c:118-126
+            hi.append(BIG if infinite else length + EPSILON)
+        return base, axes, lo, hi, obj.size[0] ** 2, False
+    if t == "orthotope":
+        base = obj.pos[0]
+        m = obj.flag[0]
+        axes, lo, hi = [], [], []
+        for i in range(m):                           # orthotope.c:35-45
+            axes.append(mathnd.unitize(obj.dir[i]))
+            length = float(mathnd.l2norm(obj.dir[i]))
+            lo.append(-EPSILON)                      # orthotope.c:135-144
+            hi.append(length + EPSILON)
+        # qc -= EPSILON makes the quadratic a thin slab (orthotope.c:203)
+        return base, axes, lo, hi, EPSILON, True
+    raise ValueError(t)
+
+
+def _build_quadrics(leaves, dim, dt):
+    n = len(leaves)
+    params = [_quadric_params(l.obj) for l in leaves]
+    a_max = max(len(p[1]) for p in params)
+    base = np.zeros((n, dim))
+    axes = np.zeros((n, a_max, dim))
+    gram = np.zeros((n, a_max, a_max))
+    lo = np.full((n, a_max), -BIG)
+    hi = np.full((n, a_max), BIG)
+    qc_off = np.zeros(n)
+    is_slab = np.zeros(n)
+    for k, (b, ax, l, h, q, slab) in enumerate(params):
+        base[k] = b
+        a = len(ax)
+        axes[k, :a] = np.stack(ax)
+        gram[k, :a, :a] = axes[k, :a] @ axes[k, :a].T
+        lo[k, :a] = l
+        hi[k, :a] = h
+        qc_off[k] = q
+        is_slab[k] = 1.0 if slab else 0.0
+    return QuadricBlock(
+        base=base.astype(dt), axes=axes.astype(dt), gram=gram.astype(dt),
+        lo=lo.astype(dt), hi=hi.astype(dt), qc_off=qc_off.astype(dt),
+        is_slab=is_slab.astype(dt),
+        mat_id=np.array([l.mat_id for l in leaves], np.int32),
+        **_bounds_arrays(leaves, dim, dt))
+
+
+def _build_facets(leaves, dim, dt):
+    n = len(leaves)
+    verts = np.stack([np.stack(l.obj.pos[:3]) for l in leaves])  # [n,3,D]
+    edges = np.stack([verts[:, (i + 1) % 3] - verts[:, i]
+                      for i in range(3)], axis=1)                # [n,3,D]
+    basis = np.zeros((n, 2, dim))
+    cos_angles = np.zeros((n, 3))
+    for k in range(n):
+        b0, b1 = mathnd.orthogonalize(edges[k, 0], edges[k, 1])  # facet.c:66-70
+        basis[k, 0], basis[k, 1] = b0, b1
+        for i in range(3):
+            j, kk = (i + 1) % 3, (i + 2) % 3
+            ang = mathnd.angle3(verts[k, kk], verts[k, i], verts[k, j])
+            cos_angles[k, i] = np.cos(ang)
+    normal = np.stack([l.obj.dir[0] for l in leaves])
+    return FacetBlock(
+        verts=verts.astype(dt), edges=edges.astype(dt),
+        basis=basis.astype(dt), cos_angles=cos_angles.astype(dt),
+        normal=normal.astype(dt),
+        mat_id=np.array([l.mat_id for l in leaves], np.int32),
+        **_bounds_arrays(leaves, dim, dt))
+
+
+def _build_hfacets(leaves, dim, dt):
+    n = len(leaves)
+    verts = np.stack([np.stack(l.obj.pos[:3]) for l in leaves])
+    edge0 = verts[:, 1] - verts[:, 0]
+    edge2r = verts[:, 2] - verts[:, 0]   # reversed edge[2] (hfacet.c:73-75)
+    ue0 = np.stack([mathnd.unitize(e) for e in edge0])
+    ep = np.zeros((n, dim))
+    for k in range(n):                   # hfacet.c:77-84
+        e2e0 = mathnd.proj(edge2r[k], edge0[k])
+        ep[k] = mathnd.unitize(edge2r[k] - e2e0)
+    vnormals = np.zeros((n, 3, dim))
+    use_normals = np.zeros(n)
+    for k, l in enumerate(leaves):
+        use_normals[k] = float(l.obj.flag[0]) if l.obj.flag else 0.0
+        for i in range(min(3, len(l.obj.dir))):
+            vnormals[k, i] = l.obj.dir[i]
+    return HFacetBlock(
+        verts=verts.astype(dt), ue0=ue0.astype(dt), ep=ep.astype(dt),
+        sum_ue0=ue0.sum(-1).astype(dt), sum_ep=ep.sum(-1).astype(dt),
+        bary_x2=(ue0 * edge0).sum(-1).astype(dt),
+        bary_y2=(ep * edge0).sum(-1).astype(dt),
+        bary_x3=(ue0 * edge2r).sum(-1).astype(dt),
+        bary_y3=(ep * edge2r).sum(-1).astype(dt),
+        use_normals=use_normals.astype(dt), vnormals=vnormals.astype(dt),
+        mat_id=np.array([l.mat_id for l in leaves], np.int32),
+        **_bounds_arrays(leaves, dim, dt))
+
+
+def _bounds_arrays(leaves, dim, dt):
+    centers, radii = [], []
+    for l in leaves:
+        c, r = _leaf_bounds(l, dim)
+        centers.append(c)
+        radii.append(r)
+    return dict(b_center=np.stack(centers).astype(dt),
+                b_radius=np.asarray(radii).astype(dt),
+                shadow_rank=np.asarray([l.shadow_rank for l in leaves],
+                                       np.int32))
+
+
+_BUILDERS = {
+    "sphere": ("spheres", _build_spheres),
+    "plane": ("planes", _build_planes),
+    "quadric": ("quadrics", _build_quadrics),
+    "facet": ("facets", _build_facets),
+    "hfacet": ("hfacets", _build_hfacets),
+}
+
+
+def compile_lights(scene: Scene, dt):
+    out = []
+    for l in scene.lights:
+        if l.type in (LightType.DISK, LightType.RECT) and not l.prepared:
+            l.prepare()
+        out.append(LightData(
+            kind=int(l.type),
+            pos=l.pos.astype(dt),
+            dir=l.dir.astype(dt),
+            color=l.color.astype(dt),
+            angle_deg=dt(l.angle),
+            radius=dt(l.radius),
+            u1=l.u1.astype(dt),
+            v1=l.v1.astype(dt)))
+    return tuple(out)
+
+
+def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
+    """Compile a host Scene into the SoA device pytree."""
+    dt = np.dtype(dtype).type
+    scene.validate()
+    leaves, materials = _flatten(scene.objects)
+    if not leaves:
+        raise ValueError("scene has no intersectable objects")
+
+    # assign shadow scan ranks to infinite leaves (insertion order)
+    rank = 0
+    for l in leaves:
+        _, r = _leaf_bounds(l, scene.dim)
+        if r < 0:
+            l.shadow_rank = rank
+            rank += 1
+
+    kwargs = {}
+    for kind, (field, builder) in _BUILDERS.items():
+        ls = [l for l in leaves if l.kind == kind]
+        if ls:
+            kwargs[field] = builder(ls, scene.dim, dt)
+
+    color = np.stack([m.color for m in materials])
+    reflect = np.stack([m.reflect for m in materials])
+    transparent = np.array([1.0 if m.transparent else 0.0 for m in materials])
+    refract = np.array([m.refract_index for m in materials])
+
+    return SceneData(
+        dim=scene.dim,
+        n_materials=len(materials),
+        has_transparent=bool(transparent.any()),
+        color=color.astype(dt), reflect=reflect.astype(dt),
+        transparent=transparent.astype(dt),
+        refract_index=refract.astype(dt),
+        ambient=scene.ambient.astype(dt),
+        bg=scene.bg.astype(dt), bg_alpha=dt(scene.bg_alpha),
+        lights=compile_lights(scene, dt),
+        **kwargs)
