@@ -55,10 +55,13 @@ def unitize(v):
 
 
 def proj(v, onto):
-    """Project v onto a vector of unknown length (vectNd.h:353-361)."""
+    """Project v onto a vector of unknown length (vectNd.h:353-361).
+    Guarded against a zero 'onto' (the C divides by zero there)."""
+    xp = _xp(v, onto)
     bb = dot(onto, onto)
     ab = dot(v, onto)
-    return onto * (ab / bb)[..., None]
+    safe = xp.where(bb > 0, bb, 1.0)
+    return onto * xp.where(bb > 0, ab / safe, 0.0)[..., None]
 
 
 def proj_unit(v, onto):

@@ -1,0 +1,57 @@
+"""Device-mesh parallelism: pixel-tile sharding over TPU chips.
+
+The reference's distribution model (SURVEY.md section 2.6) is embarrassingly
+parallel rendering: pthreads stripe rows within a node (ndt.c:803-849), MPI
+stripes rows/pixels across nodes with a tree-reduction image collect
+(ndt.c:1277-1309), and FRAME modes farm whole frames to ranks.  On TPU all
+of that collapses into ONE mechanism: a `jax.sharding.Mesh` over chips with
+the ray batch sharded on a ``pixels`` axis.  The scene pytree is replicated
+(the SPMD program is the broadcast -- no YAML-over-MPI_Bcast needed,
+ndt.c:1153-1246), XLA splits every [R, ...] tensor across chips, no
+collectives are required during tracing (rays never talk to each other),
+and the framebuffer gather to the host is the image 'collect'.
+
+Frame-level parallelism (MPI FRAME/FRAME2 modes) maps to rendering distinct
+frames on distinct mesh slices / processes -- see render/animate.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_pixel_mesh(devices=None) -> Mesh:
+    """A 1-D mesh over all (or the given) devices, axis name 'px'."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), axis_names=("px",))
+
+
+def shard_rays(mesh: Mesh, *arrays):
+    """Place [R, ...] ray arrays sharded on the pixel axis."""
+    sh = NamedSharding(mesh, P("px"))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.device_put(tree, sh)
+
+
+def render_grid_sharded(scene_data, cam_data, x, y, key, opts, mesh: Mesh,
+                        eye: str = "center"):
+    """Render a flat pixel grid with rays sharded across the mesh.
+
+    x, y: [R] with R divisible by mesh size (callers pad).  Tracing is
+    data-parallel over rays, so GSPMD partitions every [R, N] and [R, D]
+    tensor on the ray axis with zero communication; the only collective is
+    the implicit gather when the caller pulls the framebuffer to host.
+    """
+    from ndt_tpu.render.engine import render_tile
+
+    scene_r = replicate(mesh, scene_data)
+    cam_r = replicate(mesh, cam_data)
+    x_s, y_s = shard_rays(mesh, jnp.asarray(x), jnp.asarray(y))
+    return render_tile(scene_r, cam_r, x_s, y_s, key, opts, eye)

@@ -100,7 +100,9 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
 
     color = jnp.zeros((R, 3), dt)
     depth = jnp.zeros((R,), dt)
+    nrays = jnp.zeros((), jnp.int64 if dt == jnp.float64 else jnp.int32)
     rows = jnp.arange(R)
+    n_shadow_lights = sum(1 for l in scene.lights if l.kind != 0)
 
     def pop(st, j):
         return st[rows, j]
@@ -117,7 +119,8 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
         return (it < budget) & (sp > 0).any()
 
     def body(carry):
-        (it, sp, st_o, st_v, st_w, st_f, st_d, color, depth, key) = carry
+        (it, sp, st_o, st_v, st_w, st_f, st_d, color, depth, nrays,
+         key) = carry
         valid = sp > 0
         j = jnp.maximum(sp - 1, 0)
         co, cv = pop(st_o, j), pop(st_v, j)
@@ -125,6 +128,10 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
 
         tr = trace(scene, co, cv, need_normal=True)
         hit = tr.hit & valid
+        # rays-traced accounting (the Mrays/s benchmark metric): one trace
+        # per live path node + one shadow trace per non-ambient light per hit
+        nrays = (nrays + valid.sum()
+                 + hit.sum() * n_shadow_lights).astype(nrays.dtype)
 
         key, skey = jax.random.split(key)
         local = apply_lights(scene, co, cv, tr.point, tr.normal,
@@ -178,11 +185,13 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
             st_d = push(st_d, sp2, cd - 1, ok_refr)
             sp2 = sp2 + ok_refr.astype(jnp.int32)
 
-        return (it + 1, sp2, st_o, st_v, st_w, st_f, st_d, color, depth, key)
+        return (it + 1, sp2, st_o, st_v, st_w, st_f, st_d, color, depth,
+                nrays, key)
 
-    carry = (jnp.int32(0), sp, st_o, st_v, st_w, st_f, st_d, color, depth, key)
+    carry = (jnp.int32(0), sp, st_o, st_v, st_w, st_f, st_d, color, depth,
+             nrays, key)
     carry = jax.lax.while_loop(cond, body, carry)
-    return carry[7], carry[8]
+    return carry[7], carry[8], carry[9]
 
 
 # --------------------------------------------------------------------------
@@ -241,16 +250,17 @@ def render_tile(scene: SceneData, cam: CameraData, x, y, key,
         return render_rays(scene, o, v, key, opts)
 
     def sample(i, acc):
-        csum, dsum = acc
+        csum, dsum, nsum = acc
         skey = jax.random.fold_in(key, i)
         o, v = gen_rays(cam, x, y, skey, opts, eye, jitter, aperture)
-        c, d = render_rays(scene, o, v, skey, opts)
-        return (csum + c, dsum + d)
+        c, d, n = render_rays(scene, o, v, skey, opts)
+        return (csum + c, dsum + d, nsum + n)
 
-    csum, dsum = jax.lax.fori_loop(
+    csum, dsum, nsum = jax.lax.fori_loop(
         0, opts.samples, sample,
-        (jnp.zeros(x.shape + (3,), x.dtype), jnp.zeros(x.shape, x.dtype)))
-    return csum / opts.samples, dsum / opts.samples
+        (jnp.zeros(x.shape + (3,), x.dtype), jnp.zeros(x.shape, x.dtype),
+         jnp.zeros((), jnp.int32)))
+    return csum / opts.samples, dsum / opts.samples, nsum
 
 
 # --------------------------------------------------------------------------
@@ -275,21 +285,23 @@ def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
     xf = np.concatenate([xx.ravel(), np.zeros(pad, xx.dtype)])
     yf = np.concatenate([yy.ravel(), np.zeros(pad, yy.dtype)])
     colors, depths = [], []
+    nrays = 0
     for t0 in range(0, P + pad, tile):
         tkey = jax.random.fold_in(key, t0)
-        c, d = render_tile(scene_data, cam_data,
-                           jnp.asarray(xf[t0:t0 + tile]),
-                           jnp.asarray(yf[t0:t0 + tile]), tkey, opts, eye)
+        c, d, n = render_tile(scene_data, cam_data,
+                              jnp.asarray(xf[t0:t0 + tile]),
+                              jnp.asarray(yf[t0:t0 + tile]), tkey, opts, eye)
         colors.append(np.asarray(c))
         depths.append(np.asarray(d))
+        nrays += int(n)
     color = np.concatenate(colors)[:P]
     depth = np.concatenate(depths)[:P]
-    return color, depth
+    return color, depth, nrays
 
 
 def render_frame(scene_host, opts: RenderOptions):
     """Render a full frame from a host Scene.  Returns (img [H, W, 3] linear
-    float, depth [H, W] or None)."""
+    float, depth [H, W] or None, rays_traced)."""
     dt = np.dtype(opts.dtype)
     if not scene_host.cam.prepared:
         scene_host.cam.aim()
@@ -305,15 +317,17 @@ def render_frame(scene_host, opts: RenderOptions):
     W, H = opts.width, opts.height
     img = np.zeros((H, W, 3), dt)
     dep = np.zeros((H, W), dt)
+    rays = 0
 
     def grid_for(w, h):
         return _pixel_grid(w, h, dt)
 
     if opts.stereo == "mono":
         xx, yy = grid_for(W, H)
-        c, d = _render_grid(scene_data, cam_data, xx, yy, opts, "center", key)
+        c, d, n = _render_grid(scene_data, cam_data, xx, yy, opts, "center", key)
         img[:] = c.reshape(H, W, 3)
         dep[:] = d.reshape(H, W)
+        rays += n
     elif opts.stereo == "side":
         # left/right halves, x rescaled by x_scale=0.5 (ndt.c:590-600)
         xx, yy = grid_for(W, H)
@@ -325,9 +339,10 @@ def render_frame(scene_host, opts: RenderOptions):
                                (slice(half, W), ipr, "right")):
             xs = ips / W - 0.5
             xg, yg = np.meshgrid(xs.astype(dt), -(np.arange(H, dtype=dt) / H - 0.5))
-            c, d = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
+            c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
             img[:, cols] = c.reshape(H, half, 3)
             dep[:, cols] = d.reshape(H, half)
+            rays += n
     elif opts.stereo == "over":
         half = H // 2
         jp = np.arange(H, dtype=dt)
@@ -337,18 +352,20 @@ def render_frame(scene_host, opts: RenderOptions):
                               (slice(half, H), jpb, "right")):
             ys = -(jps / H - 0.5)
             xg, yg = np.meshgrid(np.arange(W, dtype=dt) / W - 0.5, ys.astype(dt))
-            c, d = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
+            c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
             img[rws] = c.reshape(half, W, 3)
             dep[rws] = d.reshape(half, W)
+            rays += n
     elif opts.stereo == "anaglyph":
         xx, yy = grid_for(W, H)
-        cl, d = _render_grid(scene_data, cam_data, xx, yy, opts, "left", key)
-        cr, _ = _render_grid(scene_data, cam_data, xx, yy, opts, "right", key)
+        cl, d, n = _render_grid(scene_data, cam_data, xx, yy, opts, "left", key)
+        cr, _d2, n2 = _render_grid(scene_data, cam_data, xx, yy, opts, "right", key)
         luma = np.array([0.299, 0.587, 0.114], dt)
         img[..., 0] = (cl.reshape(H, W, 3) * luma).sum(-1)   # ndt.c:643-647
         img[..., 1] = 0
         img[..., 2] = (cr.reshape(H, W, 3) * luma).sum(-1)
         dep[:] = d.reshape(H, W)
+        rays += n + n2
     elif opts.stereo == "hidef":
         # 1920x2205: rows 0..1079 left, 45 blank rows, rows 1125..2204 right
         # (ndt.c:613-630)
@@ -356,10 +373,11 @@ def render_frame(scene_host, opts: RenderOptions):
             jp = np.arange(j0, j1, dtype=dt) - (0 if eye == "left" else 1125)
             ys = -(jp / 1080.0 - 0.5)
             xg, yg = np.meshgrid(np.arange(W, dtype=dt) / W - 0.5, ys.astype(dt))
-            c, d = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
+            c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
             img[j0:j1] = c.reshape(j1 - j0, W, 3)
             dep[j0:j1] = d.reshape(j1 - j0, W)
+            rays += n
     else:
         raise ValueError(f"unknown stereo mode {opts.stereo!r}")
 
-    return img, (dep if opts.record_depth else None)
+    return img, (dep if opts.record_depth else None), rays

@@ -1,0 +1,261 @@
+"""Intersection kernels: analytic cases + hit-point-on-surface properties
+across dimensions 3..6, plus f32-vs-f64 agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndt_tpu.constants import BIG, EPSILON
+from ndt_tpu.render import intersect
+from ndt_tpu.render.trace import trace
+from ndt_tpu.scene.compile import compile_scene
+from ndt_tpu.scene.model import Scene
+
+
+def _trace(scene, o, v, dtype=np.float64):
+    sd = compile_scene(scene, dtype)
+    fn = jax.jit(lambda s, o, v: trace(s, o, v))
+    return fn(sd, jnp.asarray(o.astype(dtype)), jnp.asarray(v.astype(dtype)))
+
+
+def _rays_toward(center, dim, n=64, dist=10.0, seed=0):
+    rng = np.random.RandomState(seed)
+    o = center + rng.randn(n, dim) * 0.5
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * dist
+    v = center - o + rng.randn(n, dim) * 0.05
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return o, v
+
+
+@pytest.mark.parametrize("dim", [3, 4, 5, 6])
+def test_sphere_hits_on_surface(dim):
+    scn = Scene("s", dim)
+    obj = scn.add_object("sphere", "ball")
+    center = np.zeros(dim)
+    center[0] = 1.0
+    obj.add_pos(center).add_size(2.0).set_color(1, 1, 1)
+    o, v = _rays_toward(center, dim)
+    tr = _trace(scn, o, v)
+    hits = np.asarray(tr.hit)
+    assert hits.all()
+    pts = np.asarray(tr.point)
+    radii = np.linalg.norm(pts - center, axis=1)
+    np.testing.assert_allclose(radii, 2.0, atol=1e-9)
+    # normals point radially
+    nrm = np.asarray(tr.normal)
+    np.testing.assert_allclose(nrm, pts - center, atol=1e-9)
+
+
+def test_sphere_inside_far_root():
+    scn = Scene("s", 3)
+    obj = scn.add_object("sphere", "ball")
+    obj.add_pos(np.zeros(3)).add_size(2.0)
+    o = np.zeros((1, 3))  # inside the sphere
+    v = np.array([[1.0, 0, 0]])
+    tr = _trace(scn, o, v)
+    assert bool(tr.hit[0])
+    np.testing.assert_allclose(float(tr.t[0]), 2.0, atol=1e-9)
+
+
+def test_sphere_behind_misses():
+    scn = Scene("s", 3)
+    scn.add_object("sphere", "b").add_pos(np.array([0, 0, 10.0])).add_size(1.0)
+    o = np.array([[0, 0, 0.0]])
+    v = np.array([[0, 0, -1.0]])  # looking away
+    tr = _trace(scn, o, v)
+    assert not bool(tr.hit[0])
+
+
+@pytest.mark.parametrize("dim", [3, 4, 5])
+def test_hplane(dim):
+    scn = Scene("s", dim)
+    obj = scn.add_object("hplane", "floor")
+    p = np.zeros(dim)
+    p[1] = -3.0
+    nrm = np.zeros(dim)
+    nrm[1] = 1.0
+    obj.add_pos(p).add_dir(nrm)
+    o = np.zeros((1, dim))
+    o[0, 1] = 5.0
+    v = np.zeros((1, dim))
+    v[0, 1] = -1.0
+    tr = _trace(scn, o, v)
+    assert bool(tr.hit[0])
+    np.testing.assert_allclose(float(tr.t[0]), 8.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tr.normal)[0], nrm, atol=0)
+
+
+def test_hdisk_radius_bound():
+    dim = 4
+    scn = Scene("s", dim)
+    obj = scn.add_object("hdisk", "disk")
+    p = np.zeros(dim)
+    nrm = np.zeros(dim)
+    nrm[2] = 1.0
+    obj.add_pos(p).add_dir(nrm).add_size(1.0)
+    o = np.zeros((2, dim))
+    o[:, 2] = 5.0
+    o[1, 0] = 2.0  # this ray passes outside the disk radius
+    v = np.zeros((2, dim))
+    v[:, 2] = -1.0
+    tr = _trace(scn, o, v)
+    assert bool(tr.hit[0]) and not bool(tr.hit[1])
+
+
+@pytest.mark.parametrize("dim", [3, 4, 5])
+def test_cylinder_radial_distance(dim):
+    scn = Scene("s", dim)
+    obj = scn.add_object("cylinder", "cyl")
+    bot = np.zeros(dim)
+    top = np.zeros(dim)
+    top[1] = 4.0
+    obj.add_pos(bot).add_pos(top).add_size(0.5).add_flag(0)
+    # rays aimed at the middle of the axis, perpendicular-ish
+    mid = (bot + top) / 2
+    o, v = _rays_toward(mid, dim, n=32, dist=8.0, seed=1)
+    tr = _trace(scn, o, v)
+    pts = np.asarray(tr.point)[np.asarray(tr.hit)]
+    assert len(pts) > 0
+    # distance from the axis (y) must equal the radius
+    radial = pts.copy()
+    radial[:, 1] = 0.0
+    np.testing.assert_allclose(np.linalg.norm(radial, axis=1), 0.5, atol=1e-8)
+
+
+def test_cylinder_end_test():
+    dim = 3
+    scn = Scene("s", dim)
+    obj = scn.add_object("cylinder", "cyl")
+    obj.add_pos(np.zeros(dim)).add_pos(np.array([0, 2.0, 0]))
+    obj.add_size(0.5).add_flag(0)
+    o = np.array([[5.0, 10.0, 0.0]])   # beyond the top end
+    v = np.array([[-1.0, 0.0, 0.0]])
+    tr = _trace(scn, o, v)
+    assert not bool(tr.hit[0])
+
+
+@pytest.mark.parametrize("dim", [4, 5, 6])
+def test_hcylinder_multi_axis(dim):
+    """An hcylinder has D-2 axes; hit points sit at `radius` from the axial
+    subspace (hcylinder.c:219-236)."""
+    scn = Scene("s", dim)
+    obj = scn.add_object("hcylinder", "hcyl")
+    base = np.zeros(dim)
+    obj.add_pos(base)
+    for i in range(dim - 2):
+        p = np.zeros(dim)
+        p[i] = 3.0
+        obj.add_pos(p)
+    obj.add_size(1.0)
+    target = np.full(dim, 0.4)
+    o, v = _rays_toward(target, dim, n=32, dist=9.0, seed=2)
+    tr = _trace(scn, o, v)
+    pts = np.asarray(tr.point)[np.asarray(tr.hit)]
+    assert len(pts) > 0
+    # remove components along the first dim-2 coordinate axes
+    perp = pts.copy()
+    perp[:, : dim - 2] = 0.0
+    np.testing.assert_allclose(np.linalg.norm(perp, axis=1), 1.0, atol=1e-8)
+
+
+def test_orthotope_slab():
+    dim = 4
+    scn = Scene("s", dim)
+    obj = scn.add_object("orthotope", "face")
+    obj.add_flag(2)
+    d0 = np.zeros(dim); d0[0] = 2.0
+    d1 = np.zeros(dim); d1[1] = 2.0
+    obj.add_dir(d0).add_dir(d1)
+    obj.add_pos(np.zeros(dim))
+    o = np.array([[1.0, 1.0, 5.0, 0.0],    # above the face: hit
+                  [3.0, 1.0, 5.0, 0.0]])   # beyond dir0 extent: miss
+    v = np.array([[0.0, 0, -1.0, 0]] * 2)
+    tr = _trace(scn, o, v)
+    assert bool(tr.hit[0]) and not bool(tr.hit[1])
+    np.testing.assert_allclose(np.asarray(tr.point)[0][2], 0.0, atol=1e-2)
+
+
+def test_facet_inside_outside():
+    dim = 4
+    scn = Scene("s", dim)
+    tri = scn.add_object("facet", "tri")
+    tri.add_pos(np.array([0.0, 0, 0, 0]))
+    tri.add_pos(np.array([2.0, 0, 0, 0]))
+    tri.add_pos(np.array([0.0, 2, 0, 0]))
+    nrm = np.array([0.0, 0, 1.0, 0])
+    for _ in range(3):
+        tri.add_dir(nrm)
+    tri.add_flag(0)
+    o = np.array([[0.5, 0.5, 4.0, 0.0],    # inside
+                  [1.8, 1.8, 4.0, 0.0]])   # outside the hypotenuse
+    v = np.array([[0.0, 0, -1.0, 0]] * 2)
+    tr = _trace(scn, o, v)
+    assert bool(tr.hit[0]) and not bool(tr.hit[1])
+    np.testing.assert_allclose(np.asarray(tr.normal)[0], nrm, atol=0)
+
+
+def test_hfacet_barycentric_and_normals():
+    dim = 4
+    scn = Scene("s", dim)
+    tri = scn.add_object("hfacet", "tri")
+    tri.add_pos(np.array([0.0, 0, 0, 0]))
+    tri.add_pos(np.array([2.0, 0, 0, 0]))
+    tri.add_pos(np.array([0.0, 2, 0, 0]))
+    n0 = np.array([0.0, 0, 1.0, 0])
+    for _ in range(3):
+        tri.add_dir(n0)
+    tri.add_flag(1)  # use vertex normals
+    o = np.array([[0.5, 0.5, 4.0, 0.0], [1.8, 1.8, 4.0, 0.0]])
+    v = np.array([[0.0, 0, -1.0, 0]] * 2)
+    tr = _trace(scn, o, v)
+    assert bool(tr.hit[0]) and not bool(tr.hit[1])
+    # interpolated normal == n0 since all vertex normals agree
+    np.testing.assert_allclose(np.asarray(tr.normal)[0], n0, atol=1e-9)
+
+
+def test_hcube_expansion_hit():
+    dim = 4
+    scn = Scene("s", dim)
+    cube = scn.add_object("hcube", "cube")
+    cube.add_pos(np.zeros(dim))
+    for i in range(dim):
+        e = np.zeros(dim)
+        e[i] = 1.0
+        cube.add_dir(e)
+        cube.add_size(2.0)
+    o = np.array([[0.3, -0.2, 6.0, 0.1]])
+    v = np.array([[0.0, 0, -1.0, 0]])
+    tr = _trace(scn, o, v)
+    assert bool(tr.hit[0])
+    # enters through the z=+1 cell
+    np.testing.assert_allclose(float(np.asarray(tr.point)[0][2]), 1.0,
+                               atol=1e-2)
+    # material id reports the hcube itself (hcube.c:244-247)
+    assert int(tr.mat_id[0]) == 0
+
+
+def test_f32_f64_agreement_far_camera():
+    """The f32 kernels must survive 100-unit camera distances on thin
+    geometry (the Lagrange/gram + refine machinery)."""
+    dim = 4
+    scn = Scene("s", dim)
+    obj = scn.add_object("cylinder", "thin")
+    obj.add_pos(np.zeros(dim)).add_pos(np.array([0, 20.0, 0, 0]))
+    obj.add_size(0.1).add_flag(0)
+    rng = np.random.RandomState(5)
+    o = np.tile(np.array([60.0, 30.0, 13.0, 0.0]), (256, 1))
+    target = np.zeros((256, dim))
+    target[:, 1] = rng.uniform(0, 20, 256)
+    target[:, 0] = rng.uniform(-0.12, 0.12, 256)
+    v = target - o
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    tr64 = _trace(scn, o, v, np.float64)
+    tr32 = _trace(scn, o, v, np.float32)
+    h64 = np.asarray(tr64.hit)
+    h32 = np.asarray(tr32.hit)
+    # hit/miss flips only in a vanishing silhouette band
+    assert (h64 != h32).mean() < 0.02
+    both = h64 & h32
+    np.testing.assert_allclose(np.asarray(tr32.t)[both],
+                               np.asarray(tr64.t)[both], atol=2e-3)

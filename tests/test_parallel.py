@@ -1,0 +1,68 @@
+"""Mesh sharding: an 8-device CPU mesh must reproduce the single-device
+render bit-for-bit (the TPU equivalent of MPI row mode, ndt.c:1438)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_tpu.parallel.mesh import make_pixel_mesh, render_grid_sharded
+from ndt_tpu.render.engine import RenderOptions, _pixel_grid, render_tile
+from ndt_tpu.scene.compile import compile_scene
+from ndt_tpu.scene.model import Scene
+
+
+def _scene():
+    scn = Scene("mini", 4)
+    s = scn.add_object("sphere", "ball")
+    s.add_pos(np.array([0, 0, 10.0, 0])).add_size(2.0)
+    s.set_color(0.9, 0.2, 0.2).set_reflect(0.3, 0.3, 0.3)
+    floor = scn.add_object("hplane", "floor")
+    floor.add_pos(np.array([0, -3.0, 0, 0])).add_dir(np.array([0, 1.0, 0, 0]))
+    floor.set_color(0.5, 0.5, 0.5)
+    scn.ambient[:] = 0.3
+    lgt = scn.add_light()
+    lgt.pos = np.array([5.0, 10.0, 0, 0])
+    lgt.set_color(50, 50, 50)
+    scn.cam.set_aim(np.array([0, 2.0, -8.0, 0]), np.array([0, 0, 10.0, 0]),
+                    np.array([0, 1.0, 0, 0]))
+    scn.cam.aim()
+    return scn
+
+
+def test_eight_device_mesh_matches_single():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    scn = _scene()
+    dt = np.float32
+    sd = compile_scene(scn, dt)
+    cd = scn.cam.data(dt)
+    cd = dataclasses.replace(cd, dir_x=cd.dir_x * dt(32 / 24))
+    xx, yy = _pixel_grid(32, 24, np.dtype(dt))
+    x, y = xx.ravel(), yy.ravel()  # 768 rays, divisible by 8
+    opts = RenderOptions(width=32, height=24, samples=1, tile=len(x))
+    key = jax.random.PRNGKey(0)
+
+    c1, d1, n1 = render_tile(sd, cd, jnp.asarray(x), jnp.asarray(y), key,
+                             opts, "center")
+
+    mesh = make_pixel_mesh(jax.devices()[:8])
+    c8, d8, n8 = render_grid_sharded(sd, cd, x, y, key, opts, mesh)
+
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-6)
+    assert int(n8) == int(n1)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

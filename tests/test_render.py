@@ -1,0 +1,170 @@
+"""End-to-end rendering: golden bands vs the C reference, determinism,
+depth maps, stereo layouts, image IO."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndt_tpu.image_io import bytes_to_linear, linear_to_bytes, normalize_depth
+from ndt_tpu.render.engine import (RenderOptions, _pixel_grid, render_frame,
+                                   render_tile)
+from ndt_tpu.scene.compile import compile_scene
+from ndt_tpu.scene.model import Scene
+from ndt_tpu.scenes import get_scene
+
+from conftest import load_golden
+
+
+def _band_render(scene_name, frames, golden, rows, dtype="float32",
+                 width=640, height=480):
+    """Render a horizontal band of the golden image and compare bytes."""
+    mod = get_scene(scene_name)
+    scn = Scene(scene_name, 4)
+    mod.scene_setup(scn, 4, 0, frames)
+    if hasattr(mod, "scene_cleanup"):
+        mod.scene_cleanup()
+    scn.cam.aim()
+    dt = np.dtype(dtype)
+    sd = compile_scene(scn, dt)
+    cd = scn.cam.data(dt.type)
+    cd = dataclasses.replace(cd, dir_x=cd.dir_x * dt.type(width / height))
+    xx, yy = _pixel_grid(width, height, dt)
+    xb = xx[rows].ravel()
+    yb = yy[rows].ravel()
+    opts = RenderOptions(width=width, height=height, samples=1,
+                         tile=len(xb), dtype=dtype)
+    c, d, n = render_tile(sd, cd, jnp.asarray(xb), jnp.asarray(yb),
+                          jax.random.PRNGKey(0), opts, "center")
+    mine = np.asarray(c).reshape(-1, width, 3)
+    ref = load_golden(golden)[rows]
+    mine_b = linear_to_bytes(mine).astype(np.float64) / 255.0
+    return mine_b, ref
+
+
+def test_balls_band_matches_c_golden():
+    rows = slice(180, 260)  # through the balls and wireframe
+    mine, ref = _band_render("balls", 1500, "balls_4d_640x480_f0.png", rows)
+    rmse = np.sqrt(((mine - ref) ** 2).mean())
+    assert rmse < 1e-3, f"RMSE {rmse}"
+
+
+def test_builtin_band_matches_c_golden():
+    rows = slice(220, 260)  # through the refractive sphere
+    mine, ref = _band_render("test", 300, "test_4d_640x480_f0.png", rows)
+    rmse = np.sqrt(((mine - ref) ** 2).mean())
+    assert rmse < 2e-3, f"RMSE {rmse}"
+
+
+def _small_scene():
+    scn = Scene("mini", 4)
+    s = scn.add_object("sphere", "ball")
+    s.add_pos(np.array([0, 0, 10.0, 0])).add_size(2.0)
+    s.set_color(0.9, 0.2, 0.2).set_reflect(0.3, 0.3, 0.3)
+    floor = scn.add_object("hplane", "floor")
+    floor.add_pos(np.array([0, -3.0, 0, 0])).add_dir(np.array([0, 1.0, 0, 0]))
+    floor.set_color(0.5, 0.5, 0.5)
+    scn.ambient[:] = 0.3
+    lgt = scn.add_light()
+    lgt.pos = np.array([5.0, 10.0, 0, 0])
+    lgt.set_color(50, 50, 50)
+    scn.cam.set_aim(np.array([0, 2.0, -8.0, 0]), np.array([0, 0, 10.0, 0]),
+                    np.array([0, 1.0, 0, 0]))
+    scn.bg[:] = [0.1, 0.2, 0.3]
+    return scn
+
+
+def test_render_deterministic():
+    scn = _small_scene()
+    opts = RenderOptions(width=32, height=24, samples=1, tile=1024)
+    img1, _, n1 = render_frame(scn, opts)
+    img2, _, n2 = render_frame(scn, opts)
+    np.testing.assert_array_equal(img1, img2)
+    assert n1 == n2 > 0
+
+
+def test_depth_map():
+    scn = _small_scene()
+    opts = RenderOptions(width=32, height=24, samples=1, tile=1024,
+                         record_depth=True)
+    img, dep, _ = render_frame(scn, opts)
+    assert dep.shape == (24, 32)
+    # sphere pixels are closer (bigger 1/dist) than floor pixels
+    assert dep.max() > 0
+    norm = normalize_depth(dep)
+    assert norm.min() == 0.0 and norm.max() == 1.0
+
+
+def test_background_on_miss():
+    scn = _small_scene()
+    opts = RenderOptions(width=16, height=12, samples=1, tile=256)
+    img, _, _ = render_frame(scn, opts)
+    # top corner rays miss everything -> background
+    np.testing.assert_allclose(img[0, 0], [0.1, 0.2, 0.3], atol=1e-6)
+
+
+def test_multisample_close_to_single():
+    scn = _small_scene()
+    o1 = RenderOptions(width=16, height=12, samples=1, tile=256)
+    o4 = RenderOptions(width=16, height=12, samples=4, tile=256)
+    img1, _, _ = render_frame(scn, o1)
+    img4, _, _ = render_frame(scn, o4)
+    # jittered samples average near the deterministic render
+    assert np.abs(img1 - img4).mean() < 0.08
+
+
+@pytest.mark.parametrize("mode,shape", [
+    ("side", (24, 32, 3)), ("over", (24, 32, 3)), ("anaglyph", (24, 32, 3)),
+])
+def test_stereo_modes(mode, shape):
+    scn = _small_scene()
+    opts = RenderOptions(width=32, height=24, samples=1, tile=1024,
+                         stereo=mode)
+    img, _, _ = render_frame(scn, opts)
+    assert img.shape == shape
+    assert np.isfinite(img).all()
+    if mode == "anaglyph":
+        assert (img[..., 1] == 0).all()  # green channel zeroed (ndt.c:645)
+
+
+def test_vr_and_pano_cameras():
+    from ndt_tpu.camera import CameraType
+
+    for ctype in (CameraType.VR, CameraType.PANO):
+        scn = _small_scene()
+        scn.cam.type = ctype
+        scn.cam.v_fov = np.pi / 2
+        scn.cam.h_fov = 2 * np.pi
+        opts = RenderOptions(width=24, height=12, samples=1, tile=512)
+        img, _, _ = render_frame(scn, opts)
+        assert np.isfinite(img).all()
+
+
+def test_transparent_scene_refraction_runs():
+    scn = _small_scene()
+    scn.objects[0].transparent = True
+    scn.objects[0].refract_index = 1.5
+    opts = RenderOptions(width=16, height=12, samples=1, tile=256)
+    img, _, nrays = render_frame(scn, opts)
+    assert np.isfinite(img).all()
+    # refraction children mean strictly more rays than the opaque render
+    scn2 = _small_scene()
+    _, _, nrays2 = render_frame(scn2, opts)
+    assert nrays > nrays2
+
+
+def test_specular_toggle():
+    scn = _small_scene()
+    opts_on = RenderOptions(width=16, height=12, samples=1, tile=256)
+    opts_off = dataclasses.replace(opts_on, specular=False)
+    img_on, _, _ = render_frame(scn, opts_on)
+    img_off, _, _ = render_frame(scn, opts_off)
+    assert not np.array_equal(img_on, img_off)
+
+
+def test_pixel_byte_roundtrip():
+    img = np.random.RandomState(0).rand(4, 4, 3)
+    again = bytes_to_linear(linear_to_bytes(img))
+    assert np.abs(again - img).max() < 0.01
