@@ -1,0 +1,224 @@
+"""The `ndt` command-line driver (ndt.c:1336-2105 rebuild).
+
+Flag-compatible with the reference's getopt loop (ndt.c:1450-1747):
+
+  -a diff,depth   anti-aliasing args (with -w)
+  -b mode         distribution mode r/p (row/pixel: mesh-shard tiles) or
+                  f/F (frame-parallel across devices)
+  -d dims         spatial dimensions (default 3)
+  -f frames       last | first:last | first:last:total (frame-range resume,
+                  ndt.c:1510-1523)
+  -k num          clusters per level (scene_cluster, WITHOUT_KDTREE path)
+  -l num          max reflect/refract recursion depth (default 128)
+  -m mode         stereo: s side-by-side, o over/under, a anaglyph,
+                  h hidef-1080p-3D, m mono [default]
+  -n samples      per-pixel resampling count
+  -o directory    object plugin dir (accepted for compatibility; the type
+                  registry is builtin -- see scene/model.py)
+  -p              disable specular highlights
+  -q quality      high/med/low/fast presets (aa_depth, aa_diff, max_depth)
+                  = (17,1,128) (2,1,20) (0,255,5) (0,255,1) (ndt.c:1589-1624)
+  -r resolution   4k | 1080p | 720p | 480p | WxH
+  -s scene        scene name or module ('balls', 'scenes/balls.so', .py path)
+  -t threads      render threads (accepted; parallelism is the TPU mesh)
+  -u config       free-form scene config string
+  -v mode[,vFov,hFov]  radial camera: s* spherical VR, c* cylindrical pano
+  -w              Whitted recursive anti-aliasing
+  -y              write per-frame YAML scene snapshots
+  -z              record depth maps
+  -g              use cluster culling hierarchy (scene_cluster)
+
+Output layout mirrors ndt.c:1840-1873:
+  images/<scene>/<D>d[_<stereo>][_<cam>]/<WxH>/<scene>_<WxH>_<frame>.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+STEREO_NAMES = {"s": ("side", "sbs2l"), "o": ("over", "ab2l"),
+                "a": ("anaglyph", "arbg"), "h": ("hidef", "high"),
+                "m": ("mono", "")}
+QUALITY = {"h": (17, 1, 128), "m": (2, 1, 20), "l": (0, 255, 5),
+           "f": (0, 255, 1)}
+RESOLUTIONS = {"4k": (3840, 2160), "1080p": (1920, 1080),
+               "720p": (1280, 720), "480p": (640, 480)}
+
+
+def parse_frames(spec: str):
+    """-f: last | first:last | first:last:total (ndt.c:1510-1523)."""
+    parts = spec.split(":")
+    if len(parts) == 1:
+        return 0, int(parts[0]), None
+    if len(parts) == 2:
+        return int(parts[0]), int(parts[1]), None
+    return int(parts[0]), int(parts[1]), int(parts[2])
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        prog="ndt", add_help=False,
+        description="TPU-native n-dimensional ray tracer")
+    p.add_argument("-a", dest="aa", default=None, help="aa diff,depth")
+    p.add_argument("-b", dest="dist_mode", default=None)
+    p.add_argument("-d", dest="dimensions", type=int, default=3)
+    p.add_argument("-f", dest="frames", default=None)
+    p.add_argument("-g", dest="cluster", action="store_true")
+    p.add_argument("-h", dest="help", action="store_true")
+    p.add_argument("-k", dest="cluster_k", type=int, default=6)
+    p.add_argument("-l", dest="max_depth", type=int, default=128)
+    p.add_argument("-m", dest="stereo", default="m")
+    p.add_argument("-n", dest="samples", type=int, default=1)
+    p.add_argument("-o", dest="obj_dir", default=None)
+    p.add_argument("-p", dest="no_specular", action="store_true")
+    p.add_argument("-q", dest="quality", default=None)
+    p.add_argument("-r", dest="resolution", default=None)
+    p.add_argument("-s", dest="scene", default="test")
+    p.add_argument("-t", dest="threads", type=int, default=1)
+    p.add_argument("-u", dest="config", default=None)
+    p.add_argument("-v", dest="radial", default=None)
+    p.add_argument("-w", dest="whitted", action="store_true")
+    p.add_argument("-y", dest="write_yaml", action="store_true")
+    p.add_argument("-z", dest="depth_map", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.help:
+        build_argparser().print_help()
+        return 0
+
+    from ndt_tpu.camera import CameraType
+    from ndt_tpu.image_io import AsyncSaver, save_depth
+    from ndt_tpu.render.engine import RenderOptions, render_frame
+    from ndt_tpu.scene.model import Scene
+    from ndt_tpu.scenes import get_scene
+    from ndt_tpu.utils.timing import Timer
+
+    width, height = 1920, 1080
+    if args.resolution:
+        if args.resolution in RESOLUTIONS:
+            width, height = RESOLUTIONS[args.resolution]
+        else:
+            width, height = (int(t) for t in args.resolution.split("x"))
+
+    aa_diff, aa_depth = 20, 4
+    max_depth = args.max_depth
+    if args.quality:
+        q = args.quality[0].lower()
+        if q not in QUALITY:
+            print(f"unknown quality preset {args.quality!r}")
+            return 1
+        aa_depth, aa_diff, max_depth = QUALITY[q]
+    if args.aa:
+        d, dep = args.aa.split(",")
+        aa_diff, aa_depth = int(d), int(dep)
+
+    stereo, mode_str = STEREO_NAMES.get(args.stereo[0].lower(), ("mono", ""))
+    if stereo == "hidef":
+        width, height = 1920, 2205  # ndt.c:613-630
+
+    cam_str = ""
+    cam_type = CameraType.NORMAL
+    v_fov, h_fov = np.pi, 2 * np.pi
+    if args.radial:
+        parts = args.radial.split(",")
+        kind = parts[0][0].lower()
+        if kind == "s":
+            cam_type, cam_str = CameraType.VR, "vr"
+        elif kind == "c":
+            cam_type, cam_str = CameraType.PANO, "pano"
+        else:
+            print(f"Unrecognized radial mode: {parts[0]}")
+            return 1
+        if len(parts) > 1:
+            v_fov = float(parts[1]) * np.pi / 180.0
+        if len(parts) > 2:
+            h_fov = float(parts[2]) * np.pi / 180.0
+
+    mod = get_scene(args.scene)
+    dims = args.dimensions
+
+    total_frames = None
+    if hasattr(mod, "scene_frames"):
+        total_frames = mod.scene_frames(dims, args.config)
+    first, last, total = 0, (total_frames or 300) - 1, total_frames
+    if args.frames:
+        first, last, total = parse_frames(args.frames)
+    if total is None:
+        total = total_frames or max(last + 1, 1)
+
+    opts = RenderOptions(
+        width=width, height=height, samples=args.samples,
+        max_optic_depth=max_depth, stereo=stereo,
+        specular=not args.no_specular, record_depth=args.depth_map,
+        seed=0)
+
+    # output layout (ndt.c:1840-1873)
+    res_str = f"{width}x{height}"
+    dname = os.path.join(
+        "images", "SCENE",
+        f"{dims}d{'_' + mode_str if mode_str else ''}"
+        f"{'_' + cam_str if cam_str else ''}", res_str)
+
+    saver = AsyncSaver()
+    timer = Timer()
+    rendered = 0
+    total_rays = 0
+    for i in range(0, last + 1):
+        scn = Scene("scene", dims)
+        mod.scene_setup(scn, dims, i, total, args.config)
+        # scene_setup runs for SKIPPED frames too, so stateful scenes
+        # (balls physics) stay consistent (ndt.c:1818-1825)
+        if i < first:
+            continue
+
+        scn.cam.type = cam_type
+        if args.radial:
+            scn.cam.v_fov, scn.cam.h_fov = v_fov, h_fov
+        if args.cluster:
+            scn.cluster(args.cluster_k)
+
+        out_dir = dname.replace("SCENE", scn.name)
+        os.makedirs(out_dir, exist_ok=True)
+        fname = os.path.join(out_dir, f"{scn.name}_{res_str}_{i:04d}.png")
+
+        if args.write_yaml:
+            from ndt_tpu.scene.yaml_io import scene_write_yaml
+
+            ydir = os.path.join("yaml", scn.name)
+            os.makedirs(ydir, exist_ok=True)
+            scene_write_yaml(scn, os.path.join(ydir, f"{scn.name}_{i:05d}.yaml"))
+
+        img, depth, nrays = render_frame(scn, opts)
+        total_rays += nrays
+        saver.save(fname, img)
+        if args.depth_map and depth is not None:
+            ddir = os.path.join(out_dir, "depth")
+            os.makedirs(ddir, exist_ok=True)
+            save_depth(os.path.join(ddir, f"{scn.name}_{res_str}_{i:04d}.png"),
+                       depth)
+        rendered += 1
+        done = i - first + 1
+        remaining = timer.remaining(done, last - first + 1)
+        print(f"frame {i}/{last} -> {fname}  "
+              f"({timer.elapsed():.1f}s elapsed, ~{remaining:.0f}s left, "
+              f"{nrays / 1e6:.1f} Mrays)", flush=True)
+
+    saver.drain()
+    secs = timer.elapsed()
+    if rendered:
+        print(f"rendered {rendered} frames in {secs:.1f}s "
+              f"({secs / rendered:.2f} s/frame, "
+              f"{total_rays / max(secs, 1e-9) / 1e6:.1f} Mrays/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

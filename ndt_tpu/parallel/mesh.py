@@ -49,7 +49,7 @@ def render_grid_sharded(scene_data, cam_data, x, y, key, opts, mesh: Mesh,
     tensor on the ray axis with zero communication; the only collective is
     the implicit gather when the caller pulls the framebuffer to host.
     """
-    from ndt_tpu.render.engine import render_tile
+    from ndt_tpu.render.engine import render_tile_fused as render_tile
 
     scene_r = replicate(mesh, scene_data)
     cam_r = replicate(mesh, cam_data)

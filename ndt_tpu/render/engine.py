@@ -61,6 +61,7 @@ class RenderOptions:
     dtype: str = "float32"
     tile: int = 1 << 16              # rays per device dispatch
     stack_size: int = 16             # pending refraction branches per ray
+    chunk_iters: int = 16            # bounce iterations per device dispatch
     seed: int = 0
     devices: Optional[object] = None  # jax mesh for tile sharding
 
@@ -81,15 +82,119 @@ def _node_budget(opts: RenderOptions, has_transparent: bool) -> int:
 
 
 def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
-    """Trace a batch of primary rays to completion.
+    """Trace a batch of primary rays to completion IN ONE XLA PROGRAM
+    (used inside outer jits: sharding dry-runs, tests).  The host path
+    (render_tile) uses render_rays_chunked instead: very deep bounce loops
+    in a single device program can outrun execution watchdogs."""
+    if not scene.has_transparent:
+        return _render_rays_chain(scene, o, v, key, opts)
+    return _render_rays_stack(scene, o, v, key, opts)
 
-    Returns (color [R, 3] linear, depth [R] -- 1/dist of the primary hit,
-    ndt.c:362-373)."""
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _chunk_step(scene, carry, opts: RenderOptions):
+    """Run up to opts.chunk_iters bounce iterations; returns (carry, done)."""
+    if not scene.has_transparent:
+        cond0, body = _chain_loop(scene, carry[2].shape[0],
+                                  carry[2].dtype, opts)
+        active_of = lambda c: c[1].any()
+    else:
+        cond0, body = _stack_loop(scene, carry[2].shape[0],
+                                  carry[2].dtype, opts)
+        active_of = lambda c: (c[1] > 0).any()
+    it0 = carry[0]
+
+    def cond(c):
+        return cond0(c) & (c[0] < it0 + opts.chunk_iters)
+
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry, ~cond0(carry)
+
+
+def render_rays_chunked(scene, o, v, key, opts: RenderOptions):
+    """Host-driven bounce loop: dispatches opts.chunk_iters iterations per
+    device program and transfers one 'done' scalar per chunk, so no single
+    execution runs unboundedly long."""
+    if not scene.has_transparent:
+        carry = _chain_init(scene, o, v, key, opts)
+        budget = opts.max_optic_depth
+    else:
+        carry = _stack_init(scene, o, v, key, opts)
+        budget = _node_budget(opts, True)
+    while True:
+        carry, done = _chunk_step(scene, carry, opts)
+        if bool(done) or int(carry[0]) >= budget:
+            break
+    return carry[-4], carry[-3], carry[-2]
+
+
+def _chain_init(scene, o, v, key, opts):
     R, D = o.shape
     dt = o.dtype
-    S = opts.stack_size if scene.has_transparent else 1
-    max_depth = opts.max_optic_depth
+    return (jnp.int32(0), jnp.ones((R,), bool), o, v,
+            jnp.ones((R, 3), dt), jnp.ones((R,), dt),
+            jnp.zeros((R, 3), dt), jnp.zeros((R,), dt),
+            jnp.zeros((), jnp.int32), key)
 
+
+def _chain_loop(scene, R, dt, opts):
+    """(cond, body) for the chain-mode bounce loop."""
+    max_depth = opts.max_optic_depth
+    n_shadow_lights = sum(1 for l in scene.lights if l.kind != 0)
+
+    def cond(carry):
+        it, active, *_ = carry
+        return (it < max_depth) & active.any()
+
+    def body(carry):
+        (it, active, o, v, w, frac, color, depth, nrays, key) = carry
+        tr = trace(scene, o, v, need_normal=True)
+        hit = tr.hit & active
+        nrays = (nrays + active.sum()
+                 + hit.sum() * n_shadow_lights).astype(nrays.dtype)
+
+        key, skey = jax.random.split(key)
+        local = apply_lights(scene, o, v, tr, hit, key=skey,
+                             specular=opts.specular)
+
+        refl = tr.reflect
+        contrib = refl.max(axis=-1)
+        local_w = (1.0 - refl) if opts.specular else jnp.ones_like(refl)
+        node_color = jnp.where(hit[:, None], local_w * local,
+                               jnp.where(active[:, None],
+                                         scene.bg[None, :], 0.0))
+        color = color + w * node_color
+        prim_depth = jnp.where(tr.hit & (tr.t > EPSILON), 1.0 / tr.t, 0.0)
+        depth = jnp.where(it == 0, prim_depth.astype(dt), depth)
+
+        refl_any = (refl != 0).any(axis=-1)
+        nxt = (hit & (contrib > 0) & refl_any
+               & (frac * contrib >= MIN_PIXEL_FRAC) & (it + 2 <= max_depth))
+        v_new = mathnd.unitize(mathnd.reflect(v, tr.normal, 1.0))
+        o = jnp.where(nxt[:, None], tr.point, o)
+        v = jnp.where(nxt[:, None], v_new, v)
+        w = jnp.where(nxt[:, None], w * refl, w)
+        frac = jnp.where(nxt, frac * contrib, frac)
+        return (it + 1, nxt, o, v, w, frac, color, depth, nrays, key)
+
+    return cond, body
+
+
+def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
+    """Reflection-only scenes: each ray is a single chain, so the bounce
+    loop carries the continuation ray directly -- no per-ray stack, no
+    gather/scatter traffic."""
+    carry = _chain_init(scene, o, v, key, opts)
+    cond, body = _chain_loop(scene, o.shape[0], o.dtype, opts)
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[6], carry[7], carry[8]
+
+
+def _stack_init(scene, o, v, key, opts):
+    R, D = o.shape
+    dt = o.dtype
+    S = opts.stack_size
+    max_depth = opts.max_optic_depth
     # stack slot 0 holds the primary ray
     st_o = jnp.zeros((R, S, D), dt).at[:, 0].set(o)
     st_v = jnp.zeros((R, S, D), dt).at[:, 0].set(v)
@@ -97,10 +202,16 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
     st_f = jnp.zeros((R, S), dt).at[:, 0].set(1.0)
     st_d = jnp.zeros((R, S), jnp.int32).at[:, 0].set(max_depth)
     sp = jnp.ones((R,), jnp.int32)
-
     color = jnp.zeros((R, 3), dt)
     depth = jnp.zeros((R,), dt)
     nrays = jnp.zeros((), jnp.int64 if dt == jnp.float64 else jnp.int32)
+    return (jnp.int32(0), sp, st_o, st_v, st_w, st_f, st_d, color, depth,
+            nrays, key)
+
+
+def _stack_loop(scene, R, dt, opts):
+    """(cond, body) for the stack-mode bounce loop."""
+    S = opts.stack_size
     rows = jnp.arange(R)
     n_shadow_lights = sum(1 for l in scene.lights if l.kind != 0)
 
@@ -134,12 +245,11 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
                  + hit.sum() * n_shadow_lights).astype(nrays.dtype)
 
         key, skey = jax.random.split(key)
-        local = apply_lights(scene, co, cv, tr.point, tr.normal,
-                             tr.mat_id, hit, key=skey,
+        local = apply_lights(scene, co, cv, tr, hit, key=skey,
                              specular=opts.specular)
 
-        refl = scene.reflect[tr.mat_id]             # [R, 3]
-        transp = scene.transparent[tr.mat_id]
+        refl = tr.reflect                           # [R, 3]
+        transp = tr.transparent
         contrib = refl.max(axis=-1)                 # ndt.c:393
 
         if opts.specular:
@@ -173,7 +283,7 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
 
         if scene.has_transparent:
             # refraction child (ndt.c:421-430)
-            ior = scene.refract_index[tr.mat_id]
+            ior = tr.ior
             ok_refr = (hit & (transp > 0)
                        & ((1.0 - contrib) * cf >= MIN_PIXEL_FRAC)
                        & (cd - 1 > 0) & (sp2 < S))
@@ -188,8 +298,13 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
         return (it + 1, sp2, st_o, st_v, st_w, st_f, st_d, color, depth,
                 nrays, key)
 
-    carry = (jnp.int32(0), sp, st_o, st_v, st_w, st_f, st_d, color, depth,
-             nrays, key)
+    return cond, body
+
+
+def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions):
+    """General scenes (reflection + refraction): per-ray bounce stack."""
+    carry = _stack_init(scene, o, v, key, opts)
+    cond, body = _stack_loop(scene, o.shape[0], o.dtype, opts)
     carry = jax.lax.while_loop(cond, body, carry)
     return carry[7], carry[8], carry[9]
 
@@ -239,9 +354,11 @@ def gen_rays(cam: CameraData, x, y, key, opts: RenderOptions, eye: str,
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "eye"))
-def render_tile(scene: SceneData, cam: CameraData, x, y, key,
-                opts: RenderOptions, eye: str = "center"):
-    """Render one tile of pixels: returns (color [R,3], depth [R])."""
+def render_tile_fused(scene: SceneData, cam: CameraData, x, y, key,
+                      opts: RenderOptions, eye: str = "center"):
+    """Fully-jitted tile render (one XLA program): used by the mesh-sharded
+    path and compile checks.  Deep refractive scenes should prefer the
+    host-chunked render_tile."""
     jitter = opts.samples > 1
     aperture = opts.samples > 1
 
@@ -263,6 +380,27 @@ def render_tile(scene: SceneData, cam: CameraData, x, y, key,
     return csum / opts.samples, dsum / opts.samples, nsum
 
 
+_gen_rays_jit = jax.jit(gen_rays,
+                        static_argnames=("opts", "eye", "jitter", "aperture"))
+
+
+def render_tile(scene: SceneData, cam: CameraData, x, y, key,
+                opts: RenderOptions, eye: str = "center"):
+    """Render one tile of pixels with host-chunked bounce dispatches:
+    returns (color [R,3], depth [R], rays)."""
+    jitter = opts.samples > 1
+    aperture = opts.samples > 1
+    csum = dsum = nsum = None
+    for i in range(opts.samples):
+        skey = jax.random.fold_in(key, i) if opts.samples > 1 else key
+        o, v = _gen_rays_jit(cam, x, y, skey, opts, eye, jitter, aperture)
+        c, d, n = render_rays_chunked(scene, o, v, skey, opts)
+        csum = c if csum is None else csum + c
+        dsum = d if dsum is None else dsum + d
+        nsum = n if nsum is None else nsum + n
+    return csum / opts.samples, dsum / opts.samples, nsum
+
+
 # --------------------------------------------------------------------------
 # frame assembly (render_pixel stereo layouts, ndt.c:578-653)
 
@@ -276,14 +414,30 @@ def _pixel_grid(width, height, dtype):
     return xx, yy
 
 
+@functools.lru_cache(maxsize=8)
+def _blocked_perm(width, height, bw=64, bh=32):
+    """Permutation listing pixels in compact (bw x bh) screen blocks, so
+    each kernel ray-tile covers a small screen rectangle -- that's what
+    makes the megakernel's per-tile object cull fire (a linear-order tile
+    is a full-width strip that overlaps everything)."""
+    ys, xs = np.mgrid[0:height, 0:width]
+    key = np.lexsort((xs.ravel() % bw, ys.ravel() % bh,
+                      xs.ravel() // bw, ys.ravel() // bh))
+    inv = np.empty_like(key)
+    inv[key] = np.arange(key.size)
+    return key, inv
+
+
 def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
     """Tile-sharded render of a flat pixel grid; returns (color [P,3],
     depth [P]) as numpy."""
     P = xx.size
+    h, w = xx.shape
+    perm, inv = _blocked_perm(w, h)
     tile = min(opts.tile, max(1, P))
     pad = (-P) % tile
-    xf = np.concatenate([xx.ravel(), np.zeros(pad, xx.dtype)])
-    yf = np.concatenate([yy.ravel(), np.zeros(pad, yy.dtype)])
+    xf = np.concatenate([xx.ravel()[perm], np.zeros(pad, xx.dtype)])
+    yf = np.concatenate([yy.ravel()[perm], np.zeros(pad, yy.dtype)])
     colors, depths = [], []
     nrays = 0
     for t0 in range(0, P + pad, tile):
@@ -294,8 +448,8 @@ def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
         colors.append(np.asarray(c))
         depths.append(np.asarray(d))
         nrays += int(n)
-    color = np.concatenate(colors)[:P]
-    depth = np.concatenate(depths)[:P]
+    color = np.concatenate(colors)[:P][inv]
+    depth = np.concatenate(depths)[:P][inv]
     return color, depth, nrays
 
 

@@ -5,22 +5,21 @@ Each kernel answers "at what distance does ray r hit object n" for ALL
 ``[R, N]`` distance matrix with BIG where there is no hit.  The math is a
 re-derivation of the per-object C routines (cited per function).
 
-Numerical design: quantities that cancel (e.g. the quadratic's qc =
-|perpendicular offset|^2 - r^2, where the offset is the difference of two
-~|camera-to-object| vectors) are computed VECTORIALLY on [R, N, D]
-difference tensors, never as differences of large scalar dot products.  A
-scalar expansion (oo - 2 o@c + |c|^2) carries an absolute error of
-~|o-c|^2 * eps, which at f32 and camera distances of ~100 units is larger
-than a thin cylinder's r^2 -- the vectorial form's error scales with the
-LOCAL offset instead, keeping f32 rendering faithful to the f64 C
-reference.  Ray-direction dot products (all O(1)) stay as [R, D] @ [D, N]
-matmuls (MXU).  D is tiny (3-6) and static, so [R, N, D] elementwise chains
-fuse into VPU loops under XLA; the planned Pallas kernel keeps them in VMEM
-entirely.
+Performance shape: every ray-object contraction is either a
+``[R, D] @ [D, N]`` matmul (MXU) or a *per-component unrolled* [R, N]
+elementwise expression (VPU) built from [R] and [N] broadcasts -- there are
+NO [R, N, D] tensors, so XLA fuses each kernel into a single pass over
+[R, N] and HBM traffic stays at a few [R, N] arrays per block.  D is static
+and tiny (3-6), so the unrolled Python loops cost nothing.
 
-Normals are only needed for the winning object of each ray, so each family
-also provides a ``*_normal`` routine over gathered per-ray parameters
-([R, D]-sized work, off the [R, N] hot path).
+Numerical design: the discriminants cancel catastrophically if expanded as
+differences of large scalar dot products (|o-B|^2-magnitude terms down to
+~r^2 -- garbage at f32 for thin objects ~100 units from the camera).  They
+are instead computed through Lagrange's identity as sums of squared 2x2
+minors, with each minor's terms built at [R, N] from outer products; the
+residual f32 error is absorbed by a conservative margin plus a hit-local
+winner refinement (REFINERS) that re-solves the root with all magnitudes
+collapsed to object scale.  See trace._closest_with_refine.
 """
 
 from __future__ import annotations
@@ -35,9 +34,9 @@ from ndt_tpu.constants import BIG, EPSILON
 
 MISS = jnp.asarray(BIG)
 
-# TPU MXU f32 matmuls default to split-bfloat16 passes; the quadric
-# coefficients cancel ~|o-B|^2-magnitude terms, so every contraction here
-# demands true f32 accumulation (Precision.HIGHEST = 6-pass on MXU).
+# TPU MXU f32 matmuls default to split-bfloat16 passes; these coefficients
+# feed cancellation-heavy math, so contractions demand true f32 accumulation
+# (Precision.HIGHEST).
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
@@ -58,20 +57,14 @@ def _mm(a, b):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _pair_diff(o, pts):
-    """[R, D] origins minus [N, D] points -> [R, N, D]."""
-    return o[:, None, :] - pts[None, :, :]
-
-
-def _gram2(a, b):
-    """|a|^2 |b|^2 - (a.b)^2 as the sum of squared 2x2 minors (Lagrange's
-    identity) over the trailing D axis: cancellation-free where the naive
-    scalar difference loses everything.  a, b: [R, N, D] -> [R, N]."""
-    d = a.shape[-1]
+def _minor_sq_sum(p_comp, q_comp):
+    """sum over i<j of (p_i q_j - p_j q_i)^2 from per-component [R, N]
+    lists: Lagrange's identity |p|^2|q|^2 - (p.q)^2, cancellation-free."""
     out = 0.0
+    d = len(p_comp)
     for i in range(d):
         for j in range(i + 1, d):
-            m = a[..., i] * b[..., j] - a[..., j] * b[..., i]
+            m = p_comp[i] * q_comp[j] - p_comp[j] * q_comp[i]
             out = out + m * m
     return out
 
@@ -81,20 +74,27 @@ def _gram2(a, b):
 
 
 def sphere_distances(blk, o, v, pre):
-    oc = _pair_diff(o, blk.center)                    # [R, N, D]
-    voc = _einsum("rd,rnd->rn", v, oc)
-    # oc2 - voc^2 = |oc_perp|^2 via Lagrange's identity (v is unit): exact
-    # where the scalar difference cancels catastrophically at distance
-    oc_perp2 = _gram2(jnp.broadcast_to(v[:, None, :], oc.shape), oc)
+    c = blk.center                                     # [N, D]
+    D = c.shape[1]
+    voc = pre["vo"][:, None] - _mm(v, c)               # v . (o - c)
+    # minors of (v, o-c): m_ij = (v_i o_j - v_j o_i) - (v_i c_j - v_j c_i)
+    oc_perp2 = 0.0
+    for i in range(D):
+        for j in range(i + 1, D):
+            w = (v[:, i] * o[:, j] - v[:, j] * o[:, i])[:, None]
+            m = w - (v[:, i][:, None] * c[:, j][None, :]
+                     - v[:, j][:, None] * c[:, i][None, :])
+            oc_perp2 = oc_perp2 + m * m
     desc = blk.radius2[None, :] - oc_perp2
     # conservative silhouette margin: candidates within the coarse pass's
     # own rounding error survive to the hit-local refine pass, which makes
-    # the real hit/miss call (see sphere_refine).  The Lagrange minors carry
-    # an absolute error of ~|oc| * eps each, so the error in oc_perp2 scales
-    # with sqrt(oc_perp2) * |oc|.
-    oc2 = _einsum("rnd,rnd->rn", oc, oc)
+    # the real hit/miss call (see sphere_refine).  The minors carry an
+    # absolute error of ~|o||c| * eps each.
+    oc2 = (pre["oo"][:, None] - 2.0 * _mm(o, c)
+           + mathnd.dot(c, c)[None, :])
     margin = 64.0 * jnp.finfo(o.dtype).eps * jnp.sqrt(
-        jnp.maximum(oc_perp2, blk.radius2[None, :]) * oc2)
+        jnp.maximum(oc_perp2, blk.radius2[None, :])
+        * jnp.maximum(oc2, 1.0))
     droot = jnp.sqrt(jnp.maximum(desc, 0.0))
     near = -(voc + droot)
     far = droot - voc  # far side, in case the origin is inside (sphere.c:87-97)
@@ -112,14 +112,14 @@ def sphere_normal(blk, rows, hit, o, v, t):
 
 def plane_distances(blk, o, v, pre):
     p, nrm = blk.point, blk.normal
-    po = _pair_diff(o, p)                              # o - p, [R, N, D]
     ln = _mm(v, nrm)
-    pln = -_einsum("rnd,nd->rn", po, nrm)           # (p - o) . n
+    pln = mathnd.dot(p, nrm)[None, :] - _mm(o, nrm)    # (p - o) . n
     d = pln / jnp.where(jnp.abs(ln) > EPSILON, ln, 1.0)
     ok = (jnp.abs(ln) > EPSILON) & (d >= EPSILON)
     # radial bound (hdisk); hplanes carry radius2 = inf
-    hit_off = po + d[..., None] * v[:, None, :]        # hit - p
-    hit_dist2 = _einsum("rnd,rnd->rn", hit_off, hit_off)
+    op2 = (pre["oo"][:, None] - 2.0 * _mm(o, p) + mathnd.dot(p, p)[None, :])
+    opv = pre["vo"][:, None] - _mm(v, p)               # v . (o - p)
+    hit_dist2 = op2 + 2.0 * d * opv + d * d * pre["vv"][:, None]
     ok &= hit_dist2 <= blk.radius2[None, :]
     return jnp.where(ok, d, MISS)
 
@@ -138,20 +138,27 @@ def plane_normal(blk, rows, hit, o, v, t):
 
 def quadric_distances(blk, o, v, pre):
     n, A, D = blk.axes.shape
-    X = _pair_diff(o, blk.base)                        # o - B, [R, N, D]
-    alphas = [_mm(v, blk.axes[:, i, :]) for i in range(A)]       # v . a_i
-    betas = [_einsum("rnd,nd->rn", X, blk.axes[:, i, :])      # (o-B) . a_i
-             for i in range(A)]
+    axes = [blk.axes[:, i, :] for i in range(A)]       # A x [N, D]
+    alphas = [_mm(v, ax) for ax in axes]               # v . a_i, [R, N]
+    betas = [_mm(o, ax) - mathnd.dot(blk.base, ax)[None, :]
+             for ax in axes]                           # (o-B) . a_i
 
-    P = -v[:, None, :]
-    Q = -X
-    for i in range(A):
-        ax = blk.axes[:, i, :][None, :, :]
-        P = P + alphas[i][..., None] * ax
-        Q = Q + betas[i][..., None] * ax
-    qa = _einsum("rnd,rnd->rn", P, P)
-    qb = 2.0 * _einsum("rnd,rnd->rn", P, Q)
-    qc = _einsum("rnd,rnd->rn", Q, Q) - blk.qc_off[None, :]
+    # per-component P_d, Q_d as [R, N] from broadcasts (no [R, N, D])
+    P = []
+    Q = []
+    for d in range(D):
+        pd = -v[:, d][:, None]
+        qd = blk.base[:, d][None, :] - o[:, d][:, None]   # -(o - B)_d
+        for i in range(A):
+            a_d = axes[i][:, d][None, :]
+            pd = pd + alphas[i] * a_d
+            qd = qd + betas[i] * a_d
+        P.append(pd)
+        Q.append(qd)
+    qa = sum(p * p for p in P)
+    qb = 2.0 * sum(p * q for p, q in zip(P, Q))
+    qq = sum(q * q for q in Q)
+    qc = qq - blk.qc_off[None, :]
 
     def ends_ok(t):
         """Axis-projection slab test: s_i = b_i + t a_i within [lo, hi]
@@ -163,18 +170,15 @@ def quadric_distances(blk, o, v, pre):
         return ok
 
     # det = qb^2 - 4 qa qc rewritten through Lagrange's identity:
-    # (2 P.Q)^2 - 4|P|^2(|Q|^2 - off) = 4(qa*off - gram(P, Q)) -- the naive
-    # form cancels ~|o-B|^2-magnitude terms down to ~r^2 and is garbage at
-    # f32 for thin objects far from the ray origin
-    gram = _gram2(P, Q)
+    # (2 P.Q)^2 - 4|P|^2(|Q|^2 - off) = 4(qa*off - gram(P, Q))
+    gram = _minor_sq_sum(P, Q)
     det = 4.0 * (qa * blk.qc_off[None, :] - gram)
     # conservative silhouette margin (see sphere_distances): |Q| can be as
-    # large as the origin's distance to the object, and the gram minors'
-    # absolute error scales with |P||Q| * eps
-    qq = _einsum("rnd,rnd->rn", Q, Q)
+    # large as the origin's distance to the object
     margin = 256.0 * jnp.finfo(o.dtype).eps * (
         qa * blk.qc_off[None, :] + jnp.sqrt(
-            jnp.maximum(gram, qa * blk.qc_off[None, :]) * qa * qq))
+            jnp.maximum(gram, qa * blk.qc_off[None, :])
+            * jnp.maximum(qa * qq, 1.0)))
     droot = jnp.sqrt(jnp.maximum(det, 0.0))
     safe_qa = jnp.where(jnp.abs(qa) > 1e-20, qa, 1.0)
     t2 = (-qb - droot) / (2.0 * safe_qa)   # near root first
@@ -229,21 +233,25 @@ def facet_distances(blk, o, v, pre):
     base point verts[1] (facet.c:179); the 'quadratic' is degenerate so the
     C goes straight to the closest-approach solve with an EPSILON
     surface-distance acceptance, then tests interior angles at each vertex
-    (facet.c:149-164).  qa/qc are |v_perp|^2 / |X_perp|^2, computed on the
-    perpendicular component vectors to stay cancellation-free."""
+    (facet.c:149-164)."""
     b0 = blk.basis[:, 0, :]
     b1 = blk.basis[:, 1, :]
-    X = _pair_diff(o, blk.verts[:, 1, :])              # o - base
+    base = blk.verts[:, 1, :]
+    D = base.shape[1]
     a0, a1 = _mm(v, b0), _mm(v, b1)
-    c0 = _einsum("rnd,nd->rn", X, b0)
-    c1 = _einsum("rnd,nd->rn", X, b1)
-    v_perp = (-v[:, None, :] + a0[..., None] * b0[None, :, :]
-              + a1[..., None] * b1[None, :, :])
-    x_perp = (-X + c0[..., None] * b0[None, :, :]
-              + c1[..., None] * b1[None, :, :])
-    qa = _einsum("rnd,rnd->rn", v_perp, v_perp)
-    qb = 2.0 * _einsum("rnd,rnd->rn", v_perp, x_perp)
-    qc = _einsum("rnd,rnd->rn", x_perp, x_perp)
+    c0 = _mm(o, b0) - mathnd.dot(base, b0)[None, :]
+    c1 = _mm(o, b1) - mathnd.dot(base, b1)[None, :]
+    # per-component perpendicular residuals as [R, N]
+    v_perp = []
+    x_perp = []
+    for d in range(D):
+        v_perp.append(a0 * b0[:, d][None, :] + a1 * b1[:, d][None, :]
+                      - v[:, d][:, None])
+        x_perp.append(c0 * b0[:, d][None, :] + c1 * b1[:, d][None, :]
+                      - (o[:, d][:, None] - base[:, d][None, :]))
+    qa = sum(p * p for p in v_perp)
+    qb = 2.0 * sum(p * x for p, x in zip(v_perp, x_perp))
+    qc = sum(x * x for x in x_perp)
 
     small_qa = jnp.abs(qa) < EPSILON
     small_qb = jnp.abs(qb) < EPSILON
@@ -253,7 +261,7 @@ def facet_distances(blk, o, v, pre):
                   t_min)
     # |surf| at the minimum = gram(v_perp, X_perp)/qa (Lagrange identity);
     # evaluating the quadratic directly cancels catastrophically in f32
-    gram = _gram2(v_perp, x_perp)
+    gram = _minor_sq_sum(v_perp, x_perp)
     surf = jnp.where(small_qa, qa * t * t + qb * t + qc,
                      gram / jnp.where(small_qa, 1.0, qa))
     ok = (t >= EPSILON) & (jnp.abs(surf) <= EPSILON)
@@ -263,9 +271,12 @@ def facet_distances(blk, o, v, pre):
     for i in range(3):
         vi = blk.verts[:, i, :]
         ei = blk.edges[:, i, :]
-        u = _pair_diff(o, vi) + t[..., None] * v[:, None, :]   # hit - v_i
-        u_dot_e = _einsum("rnd,nd->rn", u, ei)
-        u2 = _einsum("rnd,rnd->rn", u, u)
+        u_dot_e = (_mm(o, ei) - mathnd.dot(vi, ei)[None, :]
+                   + t * _mm(v, ei))
+        u2 = (pre["oo"][:, None] - 2.0 * _mm(o, vi)
+              + mathnd.dot(vi, vi)[None, :]
+              + 2.0 * t * (pre["vo"][:, None] - _mm(v, vi))
+              + t * t * pre["vv"][:, None])
         div = jnp.sqrt(jnp.maximum(u2, 0.0) * mathnd.dot(ei, ei)[None, :])
         cos_q = u_dot_e / jnp.where(div > EPSILON, div, 1.0)
         # degenerate div: vectNd_angle returns -1, which passes the > test
@@ -284,16 +295,16 @@ def facet_normal(blk, rows, hit, o, v, t):
 def hfacet_distances(blk, o, v, pre):
     """hfacet.c:211-310: t = -(Q.1)/(R.1) where R/Q are the differences
     between a vector and its projection into the plane basis; both contract
-    against the all-ones vector."""
-    X = _pair_diff(o, blk.verts[:, 0, :])              # o - v0
+    against the all-ones vector, which collapses to scalar sums here."""
+    v0 = blk.verts[:, 0, :]
     v_ue0 = _mm(v, blk.ue0)
     v_ep = _mm(v, blk.ep)
     rv = (v_ue0 * blk.sum_ue0[None, :] + v_ep * blk.sum_ep[None, :]
           - pre["sv"][:, None])
-    x_ue0 = _einsum("rnd,nd->rn", X, blk.ue0)
-    x_ep = _einsum("rnd,nd->rn", X, blk.ep)
+    x_ue0 = _mm(o, blk.ue0) - mathnd.dot(v0, blk.ue0)[None, :]
+    x_ep = _mm(o, blk.ep) - mathnd.dot(v0, blk.ep)[None, :]
     qv = (x_ue0 * blk.sum_ue0[None, :] + x_ep * blk.sum_ep[None, :]
-          - X.sum(-1))
+          - (pre["so"][:, None] - v0.sum(-1)[None, :]))
     ok = jnp.abs(rv) >= EPSILON
     t = -qv / jnp.where(ok, rv, 1.0)
     ok &= t > EPSILON

@@ -1,0 +1,634 @@
+"""Pallas TPU megakernel for the closest-hit distance pass.
+
+One kernel does, per ray tile x object:
+  0. a per-TILE conservative cull: interval arithmetic over the tile's ray
+     bounds vs the object's bounding sphere decides, on the scalar unit,
+     whether the whole 2048-ray tile can possibly hit the object -- the
+     TPU-native equivalent of the reference's kd-tree/bounding cull
+     (kd-tree.c, bounding.c:34-85).  Coherent tiles skip most of the scene.
+  1. a cheap coarse solve for the closest-approach anchor t_hat,
+  2. a *hit-local re-solve*: shift the ray origin to p = o + t_hat v, where
+     every magnitude collapses from |camera-to-object| (~100) down to object
+     scale, making the f32 discriminant exact enough for silhouettes, thin
+     cylinders, and the shadow same-point test, and
+  3. the acceptance tests (near-root-then-far order, axis slab ends,
+     orthotope surface fallback) exactly as the C does them
+     (sphere.c:57-112, hplane.c:39-75, hdisk.c:61-85, cylinder.c:104-210,
+     hcylinder.c:132-244, orthotope.c:150-302),
+maintaining a running winner in registers.  A final small loop resolves the
+winner's material row (color/reflectivity/transparency/ior) from SMEM, so
+the engine needs NO per-ray gathers afterwards (TPU gathers are the single
+most expensive op in the naive pipeline).  HBM sees one read of the rays
+and one write of the per-ray results.
+
+Normals come free in the local frame: the perpendicular component of
+(hit - base) is -(Q' + delta P) for quadrics and oc' + delta v for spheres.
+
+Data layout: rays and normals travel as [D_PAD, R//LANE, LANE] so every
+value in the kernel is a full (RT//LANE, LANE) vreg tile.
+
+Modes:
+  closest  -- winner t/mat/normal/material (+ per-ray excluded object id)
+  any      -- occlusion: winner t/mat only (directional shadows)
+  shadow   -- point-light shadow semantics: dist_limit scan-order truncation
+              over infinite objects (object.c:736-738 + kd-tree.c:592-594)
+              via a first-rank pass then a conditional-min pass
+
+Covers the sphere / plane / quadric families; facet/hfacet blocks fall back
+to the jnp path and are merged outside.  f32 only -- the f64 golden-parity
+path stays on the jnp kernels in intersect.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ndt_tpu.constants import BIG, EPSILON
+
+import os as _os
+LANE = 128
+RT = int(_os.environ.get("NDT_PALLAS_RT", 2048))  # rays per grid program
+_UNROLL = int(_os.environ.get("NDT_PALLAS_UNROLL", 1))
+D_PAD = 8
+N_PROPS = 8        # color3, reflect3, transparent, refract_index
+
+
+class PallasMeta(NamedTuple):
+    """Static scene layout for kernel specialization."""
+
+    dim: int
+    n_sph: int
+    n_pln: int
+    n_quad: int
+    a_quad: int  # padded axis count of the quadric block
+
+
+# --------------------------------------------------------------------------
+# per-family candidate evaluation (returns refined t and, optionally,
+# unnormalized normal components)
+
+
+def _sphere_eval(sph_ref, n, o, v, D, want_normal):
+    c = [sph_ref[n, d] for d in range(D)]
+    r2 = sph_ref[n, D]
+    oc = [o[d] - c[d] for d in range(D)]
+    voc = sum(v[d] * oc[d] for d in range(D))
+    t_hat = -voc                           # closest approach anchor
+    ocl = [oc[d] + t_hat * v[d] for d in range(D)]  # hit-local offset
+    perp2 = 0.0
+    for a in range(D):
+        for b in range(a + 1, D):
+            m = v[a] * ocl[b] - v[b] * ocl[a]
+            perp2 = perp2 + m * m
+    desc = r2 - perp2
+    droot = jnp.sqrt(jnp.maximum(desc, 0.0))
+    vocl = sum(v[d] * ocl[d] for d in range(D))     # ~0, kills residue
+    near = t_hat - vocl - droot
+    far = t_hat - vocl + droot
+    t = jnp.where(near >= EPSILON, near,
+                  jnp.where(far >= EPSILON, far, BIG))
+    t = jnp.where(desc >= 0.0, t, BIG)
+    if not want_normal:
+        return t, None
+    dt_ = t - t_hat
+    nrm = [ocl[d] + dt_ * v[d] for d in range(D)]   # hit - center
+    return t, nrm
+
+
+def _plane_eval(pln_ref, n, o, v, D, want_normal):
+    p = [pln_ref[n, d] for d in range(D)]
+    nv = [pln_ref[n, D + d] for d in range(D)]
+    r2 = pln_ref[n, 2 * D]
+    ln = sum(v[d] * nv[d] for d in range(D))
+    pln = sum((p[d] - o[d]) * nv[d] for d in range(D))
+    dd = pln / jnp.where(jnp.abs(ln) > EPSILON, ln, 1.0)
+    ok = (jnp.abs(ln) > EPSILON) & (dd >= EPSILON)
+    dist2 = 0.0
+    for d in range(D):
+        off = (o[d] - p[d]) + dd * v[d]
+        dist2 = dist2 + off * off
+    ok &= dist2 <= r2
+    t = jnp.where(ok, dd, BIG)
+    if not want_normal:
+        return t, None
+    nrm = [jnp.broadcast_to(nv[d], t.shape) for d in range(D)]
+    return t, nrm
+
+
+def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref, n, o, v,
+                  D, A, want_normal):
+    base = [qb_ref[n, d] for d in range(D)]
+    ax = [[qa_ref[n, i * D + d] for d in range(D)] for i in range(A)]
+    lo = [ql_ref[n, i] for i in range(A)]
+    hi = [qh_ref[n, i] for i in range(A)]
+    off = qo_ref[n, 0]
+    slab = qs_ref[n, 0]
+
+    x = [o[d] - base[d] for d in range(D)]
+    alpha = [sum(v[d] * ax[i][d] for d in range(D)) for i in range(A)]
+    beta = [sum(x[d] * ax[i][d] for d in range(D)) for i in range(A)]
+    P = [sum(alpha[i] * ax[i][d] for i in range(A)) - v[d] for d in range(D)]
+    qa = sum(p * p for p in P)
+    safe_qa = jnp.where(jnp.abs(qa) > 1e-20, qa, 1.0)
+    Q0 = [sum(beta[i] * ax[i][d] for i in range(A)) - x[d] for d in range(D)]
+    pq = sum(p * q for p, q in zip(P, Q0))
+    t_hat = -pq / safe_qa                  # coarse closest-approach anchor
+
+    # hit-local re-solve at p = o + t_hat v (object-scale magnitudes)
+    beta_l = [beta[i] + t_hat * alpha[i] for i in range(A)]
+    xl = [x[d] + t_hat * v[d] for d in range(D)]
+    Q = [sum(beta_l[i] * ax[i][d] for i in range(A)) - xl[d]
+         for d in range(D)]
+    qb = 2.0 * sum(p * q for p, q in zip(P, Q))
+    gram = 0.0
+    for a in range(D):
+        for b in range(a + 1, D):
+            m = P[a] * Q[b] - P[b] * Q[a]
+            gram = gram + m * m
+    det = 4.0 * (qa * off - gram)
+    droot = jnp.sqrt(jnp.maximum(det, 0.0))
+    d_near = (-qb - droot) / (2.0 * safe_qa)
+    d_far = (-qb + droot) / (2.0 * safe_qa)
+    t_near = t_hat + d_near
+    t_far = t_hat + d_far
+
+    def ends(delta, t_abs):
+        ok = jnp.ones(t_abs.shape, bool)
+        for i in range(A):
+            s = beta_l[i] + delta * alpha[i]
+            ok &= (s >= lo[i]) & (s <= hi[i])
+        return ok
+
+    is_slab = slab > 0
+    usable = jnp.abs(qa) > 1e-20
+    quad_valid = (det >= 0.0) & (
+        (is_slab & (jnp.abs(qa) > EPSILON)) | ((~is_slab) & usable))
+    ok2 = quad_valid & (t_near > EPSILON) & ends(d_near, t_near)
+    ok1 = quad_valid & (t_far > EPSILON) & ends(d_far, t_far)
+
+    # orthotope closest-approach fallback (orthotope.c:233-275)
+    d_min = -qb / (2.0 * safe_qa)
+    t_f = t_hat + d_min
+    surf = gram / safe_qa - off
+    ok_f = (is_slab & usable & (t_f >= EPSILON)
+            & (jnp.abs(surf) <= EPSILON) & ends(d_min, t_f))
+
+    t = jnp.where(ok2, t_near,
+                  jnp.where(ok1, t_far, jnp.where(ok_f, t_f, BIG)))
+    if not want_normal:
+        return t, None
+    delta = jnp.where(ok2, d_near, jnp.where(ok1, d_far, d_min))
+    nrm = [-(Q[d] + delta * P[d]) for d in range(D)]
+    return t, nrm
+
+
+# --------------------------------------------------------------------------
+# per-tile conservative cull (scalar unit): can ANY ray in the tile hit the
+# object's bounding sphere?  Interval arithmetic over the tile's per-
+# component origin/direction ranges.
+
+
+def _imul(alo, ahi, blo, bhi):
+    c1, c2, c3, c4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
+    return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
+            jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
+
+
+def _tile_bounds(o, v, D):
+    return ([jnp.min(o[d]) for d in range(D)],
+            [jnp.max(o[d]) for d in range(D)],
+            [jnp.min(v[d]) for d in range(D)],
+            [jnp.max(v[d]) for d in range(D)])
+
+
+def _tile_may_hit(tb, c, r2, D):
+    """Conservative: lower-bound the squared perpendicular distance from
+    the center to every ray line in the tile, and the 'behind' condition."""
+    o_lo, o_hi, v_lo, v_hi = tb
+    perp2_lo = 0.0
+    voc_lo = 0.0
+    voc_hi = 0.0
+    oc = [(o_lo[d] - c[d], o_hi[d] - c[d]) for d in range(D)]
+    for d in range(D):
+        plo, phi = _imul(v_lo[d], v_hi[d], oc[d][0], oc[d][1])
+        voc_lo = voc_lo + plo
+        voc_hi = voc_hi + phi
+    for a in range(D):
+        for b in range(a + 1, D):
+            p1lo, p1hi = _imul(v_lo[a], v_hi[a], oc[b][0], oc[b][1])
+            p2lo, p2hi = _imul(v_lo[b], v_hi[b], oc[a][0], oc[a][1])
+            mlo = p1lo - p2hi
+            mhi = p1hi - p2lo
+            m2 = jnp.where((mlo <= 0.0) & (mhi >= 0.0), 0.0,
+                           jnp.minimum(mlo * mlo, mhi * mhi))
+            perp2_lo = perp2_lo + m2
+    radial_ok = perp2_lo <= r2
+    # sphere entirely behind every ray: farthest root -voc + r < EPSILON
+    r = jnp.sqrt(jnp.maximum(r2, 0.0))
+    ahead_ok = (-voc_lo + r) >= EPSILON
+    return radial_ok & ahead_ok
+
+
+# --------------------------------------------------------------------------
+
+
+import os
+
+_USE_CULL = os.environ.get("NDT_PALLAS_CULL", "1") != "0"
+_USE_PROPS = os.environ.get("NDT_PALLAS_PROPS", "1") != "0"
+
+
+def _make_kernel(meta: PallasMeta, mode: str):
+    """mode: 'closest' | 'any' | 'shadow'."""
+    D = meta.dim
+    A = meta.a_quad
+    want_normal = mode == "closest"
+    NOTINF = (1 << 30) - 1  # python literal; captured jnp consts are disallowed
+
+    def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
+               qoff_ref, qslab_ref, mat_ref, rank_ref, bnd_ref, prop_ref,
+               lists_ref, counts_ref, o_ref, v_ref, aux_ref, *out_refs):
+        o = [o_ref[d] for d in range(D)]       # each (RT//LANE, LANE)
+        v = [v_ref[d] for d in range(D)]
+        shape = o[0].shape
+
+        # per-tile compact surviving-object lists, built vectorized in XLA
+        # (cull_lists below) and delivered as blocked SMEM rows
+        fam_meta = []
+        if meta.n_sph:
+            fam_meta.append(("sph", 0, 0))
+        if meta.n_pln:
+            fam_meta.append(("pln", 1, meta.n_sph))
+        if meta.n_quad:
+            fam_meta.append(("quad", 2, meta.n_sph + meta.n_pln))
+
+        evals = {
+            "sph": lambda n: _sphere_eval(sph_ref, n, o, v, D, want_normal),
+            "pln": lambda n: _plane_eval(pln_ref, n, o, v, D, want_normal),
+            "quad": lambda n: _quadric_eval(qbase_ref, qaxes_ref, qlo_ref,
+                                            qhi_ref, qoff_ref, qslab_ref,
+                                            n, o, v, D, A, want_normal),
+        }
+
+        def families(visit):
+            for name, fam_i, gid0 in fam_meta:
+                ev = evals[name]
+                cnt = counts_ref[0, 0, fam_i]
+                visit(cnt, gid0,
+                      lambda k, gid0=gid0, ev=ev: ev(
+                          lists_ref[0, 0, gid0 + k] - gid0),
+                      lambda k, gid0=gid0: lists_ref[0, 0, gid0 + k] - gid0)
+
+        if mode in ("closest", "any"):
+            excl = aux_ref[0]                  # excluded MATERIAL id tile
+            t1 = jnp.full(shape, BIG, jnp.float32)
+            m1 = jnp.full(shape, -1, jnp.int32)
+            if want_normal:
+                n1 = [jnp.zeros(shape, jnp.float32) for _ in range(D)]
+            state = {}
+
+            def visit(count, gid0, ev, row):
+                def body(k, carry):
+                    if want_normal:
+                        t1, m1, *n1 = carry
+                    else:
+                        t1, m1 = carry
+                    n = row(k)
+                    t, nrm = ev(k)
+                    mat = mat_ref[gid0 + n, 0]
+                    t = jnp.where(mat == excl, BIG, t)
+                    b = t < t1
+                    t1 = jnp.where(b, t, t1)
+                    m1 = jnp.where(b, mat, m1)
+                    if want_normal:
+                        n1 = [jnp.where(b, nd, n1d)
+                              for nd, n1d in zip(nrm, n1)]
+                        return (t1, m1, *n1)
+                    return (t1, m1)
+
+                init = ((state["t1"], state["m1"], *state["n1"])
+                        if want_normal else (state["t1"], state["m1"]))
+                out = jax.lax.fori_loop(0, count, body, init,
+                                        unroll=_UNROLL)
+                state["t1"], state["m1"] = out[0], out[1]
+                if want_normal:
+                    state["n1"] = list(out[2:])
+
+            state["t1"], state["m1"] = t1, m1
+            if want_normal:
+                state["n1"] = n1
+            families(visit)
+
+            if mode == "closest":
+                t_ref, m_ref, n_ref, p_ref = out_refs
+            else:
+                t_ref, m_ref = out_refs
+            t_ref[...] = state["t1"][None]
+            m_ref[...] = state["m1"][None]
+            if mode == "closest":
+                for d in range(D):
+                    n_ref[d] = state["n1"][d]
+                for d in range(D, D_PAD):
+                    n_ref[d] = jnp.zeros(shape, jnp.float32)
+                # winner material properties from SMEM (no host gathers)
+                props = [jnp.zeros(shape, jnp.float32)
+                         for _ in range(N_PROPS)]
+                n_mats = prop_ref.shape[0] if _USE_PROPS else 0
+
+                def prop_body(k, props):
+                    sel = state["m1"] == k
+                    return [jnp.where(sel, prop_ref[k, j], pj)
+                            for j, pj in enumerate(props)]
+
+                props = jax.lax.fori_loop(0, n_mats, prop_body, props)
+                for j in range(N_PROPS):
+                    p_ref[j] = props[j]
+        else:
+            limit = aux_ref[0]
+            # pass 1: first (lowest) rank among infinite objects hit within
+            # the limit (the C's trace() breaks at the first such object in
+            # scan order; compile assigns ranks in that order)
+            first = {"rank": jnp.full(shape, NOTINF, jnp.int32)}
+
+            def visit1(count, gid0, ev, row):
+                def body(k, fr):
+                    n = row(k)
+                    t, _ = ev(k)
+                    rank = rank_ref[gid0 + n, 0]
+                    within = (t < limit) & (t < BIG * 0.5)
+                    return jnp.where(within & (rank < NOTINF),
+                                     jnp.minimum(fr, rank), fr)
+
+                first["rank"] = jax.lax.fori_loop(0, count, body,
+                                                  first["rank"])
+
+            families(visit1)
+
+            # pass 2: min over finite objects + infinite objects with
+            # rank <= first_rank
+            st = {"t1": jnp.full(shape, BIG, jnp.float32),
+                  "m1": jnp.full(shape, -1, jnp.int32)}
+
+            def visit2(count, gid0, ev, row):
+                def body(k, carry):
+                    t1, m1 = carry
+                    n = row(k)
+                    t, _ = ev(k)
+                    rank = rank_ref[gid0 + n, 0]
+                    elig = (rank >= NOTINF) | (rank <= first["rank"])
+                    t = jnp.where(elig, t, BIG)
+                    b = t < t1
+                    return (jnp.where(b, t, t1),
+                            jnp.where(b, mat_ref[gid0 + n, 0], m1))
+
+                out = jax.lax.fori_loop(0, count, body,
+                                        (st["t1"], st["m1"]))
+                st["t1"], st["m1"] = out
+
+            families(visit2)
+            t_ref, m_ref = out_refs
+            t_ref[...] = st["t1"][None]
+            m_ref[...] = st["m1"][None]
+
+    return kernel
+
+
+def pack_params(scene):
+    """Flatten the supported blocks into SMEM-friendly 2-D tables."""
+    from ndt_tpu.scene.compile import NOT_INFINITE
+
+    D = scene.dim
+    sph = scene.spheres
+    pln = scene.planes
+    quad = scene.quadrics
+    f32 = np.float32
+
+    mats, ranks, bnds = [], [], []
+
+    def bounds_rows(blk):
+        r = np.asarray(blk.b_radius, np.float64)
+        r2 = np.where(r < 0, -1.0, r * r)
+        return np.concatenate([np.asarray(blk.b_center, f32),
+                               r2[:, None].astype(f32)], axis=1)
+
+    if sph is not None:
+        sph_tab = np.concatenate(
+            [np.asarray(sph.center, f32),
+             np.asarray(sph.radius2, f32)[:, None]], axis=1)
+        mats.append(np.asarray(sph.mat_id, np.int32))
+        ranks.append(np.asarray(sph.shadow_rank, np.int32))
+        bnds.append(bounds_rows(sph))
+    else:
+        sph_tab = np.zeros((1, D + 1), f32)
+    if pln is not None:
+        r2 = np.minimum(np.asarray(pln.radius2, np.float64), BIG).astype(f32)
+        pln_tab = np.concatenate(
+            [np.asarray(pln.point, f32), np.asarray(pln.normal, f32),
+             r2[:, None]], axis=1)
+        mats.append(np.asarray(pln.mat_id, np.int32))
+        ranks.append(np.asarray(pln.shadow_rank, np.int32))
+        bnds.append(bounds_rows(pln))
+    else:
+        pln_tab = np.zeros((1, 2 * D + 1), f32)
+    if quad is not None:
+        n_q, A, _ = quad.axes.shape
+        qbase = np.asarray(quad.base, f32)
+        qaxes = np.asarray(quad.axes, f32).reshape(n_q, A * D)
+        qlo = np.clip(np.asarray(quad.lo, np.float64), -BIG, BIG).astype(f32)
+        qhi = np.clip(np.asarray(quad.hi, np.float64), -BIG, BIG).astype(f32)
+        qoff = np.asarray(quad.qc_off, f32)[:, None]
+        qslab = np.asarray(quad.is_slab, f32)[:, None]
+        mats.append(np.asarray(quad.mat_id, np.int32))
+        ranks.append(np.asarray(quad.shadow_rank, np.int32))
+        bnds.append(bounds_rows(quad))
+    else:
+        A = 1
+        qbase = np.zeros((1, D), f32)
+        qaxes = np.zeros((1, D), f32)
+        qlo = np.zeros((1, 1), f32)
+        qhi = np.zeros((1, 1), f32)
+        qoff = np.zeros((1, 1), f32)
+        qslab = np.zeros((1, 1), f32)
+
+    mat_tab = (np.concatenate(mats) if mats
+               else np.zeros(1, np.int32))[:, None]
+    rank_tab = (np.concatenate(ranks) if ranks
+                else np.full(1, NOT_INFINITE, np.int32))[:, None]
+    bnd_tab = (np.concatenate(bnds) if bnds
+               else np.full((1, D + 1), -1.0, f32))
+
+    prop_tab = np.concatenate(
+        [np.asarray(scene.color, f32), np.asarray(scene.reflect, f32),
+         np.asarray(scene.transparent, f32)[:, None],
+         np.asarray(scene.refract_index, f32)[:, None]], axis=1)
+
+    meta = PallasMeta(
+        dim=D,
+        n_sph=0 if sph is None else sph.center.shape[0],
+        n_pln=0 if pln is None else pln.point.shape[0],
+        n_quad=0 if quad is None else quad.base.shape[0],
+        a_quad=A,
+    )
+    return meta, (sph_tab, pln_tab, qbase, qaxes, qlo, qhi, qoff, qslab,
+                  mat_tab, rank_tab, bnd_tab, prop_tab)
+
+
+def cull_lists(params, o, v, meta):
+    """Vectorized per-tile object culling in XLA: interval arithmetic over
+    each RT-ray tile's origin/direction bounds vs every object's bounding
+    sphere, then per-family compaction into (lists [n_tiles, N],
+    counts [n_tiles, 3]) consumed by the kernel as blocked SMEM rows.
+
+    The same conservative test as the reference's bounding-sphere cull
+    (bounding.c:34-85) but at tile granularity: the tile may hit the object
+    unless the lower bound of every ray's squared perpendicular distance
+    exceeds r^2, or the whole sphere is behind every ray."""
+    bnd = params[10]                          # [N, D+1] center + r2(-1 inf)
+    R, D = o.shape
+    n_tiles = R // RT
+    o_t = o.reshape(n_tiles, RT, D)
+    v_t = v.reshape(n_tiles, RT, D)
+    o_lo, o_hi = o_t.min(1), o_t.max(1)       # [n_tiles, D]
+    v_lo, v_hi = v_t.min(1), v_t.max(1)
+    c = bnd[:, :D]                             # [N, D]
+    r2 = bnd[:, D]                             # [N]
+
+    oc_lo = o_lo[:, None, :] - c[None, :, :]   # [n_tiles, N, D]
+    oc_hi = o_hi[:, None, :] - c[None, :, :]
+
+    def imul(alo, ahi, blo, bhi):
+        cands = jnp.stack([alo * blo, alo * bhi, ahi * blo, ahi * bhi])
+        return cands.min(0), cands.max(0)
+
+    perp2_lo = 0.0
+    voc_lo = 0.0
+    for d in range(D):
+        plo, phi = imul(v_lo[:, None, d], v_hi[:, None, d],
+                        oc_lo[:, :, d], oc_hi[:, :, d])
+        voc_lo = voc_lo + plo
+    for a in range(D):
+        for b in range(a + 1, D):
+            p1lo, p1hi = imul(v_lo[:, None, a], v_hi[:, None, a],
+                              oc_lo[:, :, b], oc_hi[:, :, b])
+            p2lo, p2hi = imul(v_lo[:, None, b], v_hi[:, None, b],
+                              oc_lo[:, :, a], oc_hi[:, :, a])
+            mlo = p1lo - p2hi
+            mhi = p1hi - p2lo
+            m2 = jnp.where((mlo <= 0.0) & (mhi >= 0.0), 0.0,
+                           jnp.minimum(mlo * mlo, mhi * mhi))
+            perp2_lo = perp2_lo + m2
+    r = jnp.sqrt(jnp.maximum(r2, 0.0))[None, :]
+    may_hit = (perp2_lo <= r2[None, :]) & ((-voc_lo + r) >= EPSILON)
+    may_hit = may_hit | (r2[None, :] < 0.0)   # infinite leaves never cull
+
+    # per-family stable compaction: surviving gids first
+    n_tot = bnd.shape[0]
+    gids = jnp.arange(n_tot, dtype=jnp.int32)[None, :]
+    fam_sizes = [meta.n_sph, meta.n_pln, meta.n_quad]
+    lists = []
+    counts = []
+    off = 0
+    for sz in fam_sizes:
+        if sz == 0:
+            counts.append(jnp.zeros((n_tiles,), jnp.int32))
+            continue
+        mh = may_hit[:, off:off + sz]
+        order = jnp.argsort(~mh, axis=1, stable=True)
+        lists.append(jnp.take_along_axis(
+            jnp.broadcast_to(gids[:, off:off + sz], mh.shape), order, 1))
+        counts.append(mh.sum(1, dtype=jnp.int32))
+        off += sz
+    lists = (jnp.concatenate(lists, axis=1) if lists
+             else jnp.zeros((n_tiles, 1), jnp.int32))
+    if lists.shape[1] < max(n_tot, 1):
+        lists = jnp.pad(lists, ((0, 0), (0, max(n_tot, 1) - lists.shape[1])))
+    counts = jnp.stack(counts, axis=1)         # [n_tiles, 3]
+    return lists, counts
+
+
+def _to_tiles(a, R):
+    """[R, D] rays -> [D_PAD, R//LANE, LANE] full-vreg layout."""
+    D = a.shape[1]
+    out = jnp.zeros((D_PAD, R // LANE, LANE), jnp.float32)
+    return out.at[:D].set(a.T.reshape(D, R // LANE, LANE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "mode", "interpret"))
+def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
+                 interpret: bool = False):
+    """Winner over the sphere/plane/quadric blocks.
+
+    o, v: [R, D] f32, R a multiple of RT.  aux: per-ray int32 excluded
+    MATERIAL id ('closest'/'any') or f32 distance limit ('shadow').
+    Returns (t [R], mat [R] i32, normal [R, D] | None, props [R, 8] | None).
+    """
+    R, D = o.shape
+    assert R % RT == 0, R
+    o_t = _to_tiles(o, R)
+    v_t = _to_tiles(v, R)
+    aux_t = aux.reshape(1, R // LANE, LANE)
+
+    kernel = _make_kernel(meta, mode)
+    grid = (R // RT,)
+    rows = RT // LANE
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((D_PAD, rows, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    aux_spec = pl.BlockSpec((1, rows, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out1_spec = pl.BlockSpec((1, rows, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    props_spec = pl.BlockSpec((N_PROPS, rows, LANE), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+
+    shapes = {
+        "closest": (
+            [out1_spec, out1_spec, ray_spec, props_spec],
+            [jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.int32),
+             jax.ShapeDtypeStruct((D_PAD, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((N_PROPS, R // LANE, LANE), jnp.float32)]),
+        "any": (
+            [out1_spec, out1_spec],
+            [jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.int32)]),
+        "shadow": (
+            [out1_spec, out1_spec],
+            [jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.int32)]),
+    }
+    out_specs, out_shape = shapes[mode]
+
+    n_total = max(meta.n_sph + meta.n_pln + meta.n_quad, 1)
+    lists, counts = cull_lists(params, o, v, meta)
+    lists = lists[:, None, :]
+    counts = counts[:, None, :]
+    list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem()] * 12 + [list_spec, cnt_spec, ray_spec, ray_spec,
+                                  aux_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*params, lists, counts, o_t, v_t, aux_t)
+
+    t = outs[0].reshape(R)
+    mat = outs[1].reshape(R)
+    if mode == "closest":
+        nrm = outs[2][:D].reshape(D, R).T
+        props = outs[3].reshape(N_PROPS, R).T
+        return t, mat, nrm, props
+    return t, mat, None, None

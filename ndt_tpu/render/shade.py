@@ -14,8 +14,13 @@ Shadow semantics replicate the C exactly:
     light direction) and require hitting nothing at all (ndt.c:230-249);
   * area lights (disk/rect) sample one point on the light per shading event
     and then behave like point lights (ndt.c:116-147); sampling uses
-    jax.random instead of drand48, so stochastic features are statistically
-    -- not bitwise -- equivalent.
+    jax.random instead of drand48, so statistically -- not bitwise --
+    equivalent.
+
+All shadow rays of all lights are STACKED into a single trace call per
+category, so one render step instantiates exactly one shadow kernel and one
+occlusion kernel regardless of light count (kernel instances dominate
+Mosaic compile time, and bigger ray batches use the chip better).
 """
 
 from __future__ import annotations
@@ -48,23 +53,28 @@ def _sample_area_light(light: LightData, key, shape):
             + light.v1[None, :] * (y * light.radius)[:, None])
 
 
-def apply_lights(scene: SceneData, src, look, hit_pt, normal, mat_id, active,
+def apply_lights(scene: SceneData, src, look, tr, active,
                  key=None, specular: bool = True):
     """Return the local (pre-reflection) color [R, 3] for rays with a valid
-    hit.  ``src`` is the ray origin, ``look`` the unit ray direction.
+    hit.  ``src`` is the ray origin, ``look`` the unit ray direction,
+    ``tr`` the TraceResult (hit point, normal, winner material).
     ``specular=False`` replicates the -p flag (ndt.c:41, 280)."""
-    color = scene.color[mat_id]        # [R, 3]
-    reflect_c = scene.reflect[mat_id]
-    transparent = scene.transparent[mat_id]
+    hit_pt, normal, mat_id = tr.point, tr.normal, tr.mat_id
+    color = tr.color
+    reflect_c = tr.reflect
+    transparent = tr.transparent
 
     out = color * scene.ambient[None, :]   # ndt.c:89-91
-    r_shape = (src.shape[0],)
+    R = src.shape[0]
+    r_shape = (R,)
 
+    # ---- per-light geometry + classification -----------------------------
+    pointish = []      # (index, light, lgt_pos, light_vec, ldist2, mask)
+    directional = []   # (index, light, rev_light)
     for li, light in enumerate(scene.lights):
         if light.kind == AMBIENT:
             out = out + color * light.color[None, :]   # ndt.c:106-111
             continue
-
         kind = light.kind
         if kind in (DISK, RECT):
             lkey = jax.random.fold_in(key, li) if key is not None else \
@@ -76,7 +86,7 @@ def apply_lights(scene: SceneData, src, look, hit_pt, normal, mat_id, active,
 
         if kind in (POINT, SPOT):
             rev_light = mathnd.unitize(lgt_pos - hit_pt)
-        else:  # DIRECTIONAL
+        else:
             rev_light = jnp.broadcast_to(
                 mathnd.unitize(-light.dir)[None, :], src.shape)
         rev_view = src - hit_pt
@@ -90,41 +100,66 @@ def apply_lights(scene: SceneData, src, look, hit_pt, normal, mat_id, active,
             mask = side_ok & active
             if kind == SPOT:
                 cone = mathnd.angle(
-                    jnp.broadcast_to(light.dir[None, :], src.shape), light_vec)
+                    jnp.broadcast_to(light.dir[None, :], src.shape),
+                    light_vec)
                 mask &= (cone * (180.0 / jnp.pi)) <= light.angle_deg
-            # shadow: light -> object, must hit the same object at the same
-            # point (ndt.c:209-228); dist_limit = dist + EPSILON scan-order
-            # semantics via shadow_trace
-            limit = jnp.sqrt(ldist2) + EPSILON
-            sh = shadow_trace(scene, lgt_pos, light_vec, limit)
-            same_obj = sh.mat_id == mat_id
-            same_pt = mathnd.dist(sh.point, hit_pt) <= EPSILON
-            lit = mask & sh.hit & same_obj & same_pt
+            pointish.append((li, light, lgt_pos, light_vec, ldist2, mask))
         else:
-            light_vec = jnp.broadcast_to(light.dir[None, :], src.shape)
-            ldist2 = jnp.ones(r_shape, src.dtype)
-            near = hit_pt - mathnd.unitize(light.dir)[None, :] * EPSILON
-            # self excluded: convex leaves can't re-occlude a lit-side point
-            sh = occlusion_trace(scene, near, rev_light,
-                                 exclude_mat=mat_id)    # ndt.c:230-243
-            lit = side_ok & active & (~sh.hit)
+            directional.append((li, light, rev_light, side_ok))
 
-        # two-sided diffuse |cos|/d^2 (ndt.c:261-273)
+    # ---- batched shadow traces (one kernel instance per category) --------
+    lit = {}
+    if pointish:
+        o_b = jnp.concatenate([p[2] for p in pointish])      # from light
+        v_b = jnp.concatenate([p[3] for p in pointish])
+        lim_b = jnp.concatenate(
+            [jnp.sqrt(p[4]) + EPSILON for p in pointish])
+        sh = shadow_trace(scene, o_b, v_b, lim_b)            # ndt.c:209-228
+        for k, (li, light, lgt_pos, light_vec, ldist2, mask) in \
+                enumerate(pointish):
+            s_mat = sh.mat_id[k * R:(k + 1) * R]
+            s_pt = sh.point[k * R:(k + 1) * R]
+            s_hit = sh.hit[k * R:(k + 1) * R]
+            same_obj = s_mat == mat_id
+            same_pt = mathnd.dist(s_pt, hit_pt) <= EPSILON
+            lit[li] = mask & s_hit & same_obj & same_pt
+    if directional:
+        o_b = jnp.concatenate(
+            [hit_pt - mathnd.unitize(l.dir)[None, :] * EPSILON
+             for _, l, _, _ in directional])
+        v_b = jnp.concatenate([d[2] for d in directional])
+        ex_b = jnp.concatenate([mat_id] * len(directional))
+        # self excluded: convex leaves can't re-occlude a lit-side point
+        sh = occlusion_trace(scene, o_b, v_b, exclude_mat=ex_b)
+        for k, (li, light, rev_light, side_ok) in enumerate(directional):
+            s_hit = sh.hit[k * R:(k + 1) * R]
+            lit[li] = side_ok & active & (~s_hit)            # ndt.c:230-249
+
+    # ---- diffuse + specular ----------------------------------------------
+    def add_light_terms(out, li, light, light_vec, ldist2):
+        l = lit[li]
         div = mathnd.l2norm(normal) * mathnd.l2norm(light_vec)
         cos_a = jnp.abs(mathnd.dot(normal, light_vec)) / jnp.where(
             div > EPSILON, div, 1.0)
         scale = (cos_a / ldist2)[:, None]
-        diff_w = (lit & (transparent <= 0))[:, None]
-        out = out + jnp.where(diff_w, color * light.color[None, :] * scale, 0.0)
+        diff_w = (l & (transparent <= 0))[:, None]
+        out = out + jnp.where(diff_w,
+                              color * light.color[None, :] * scale, 0.0)
+        if specular:
+            light_ref = mathnd.unitize(mathnd.reflect(light_vec, normal, 0.5))
+            rv = jnp.maximum(0.0, mathnd.dot(light_ref,
+                                             mathnd.unitize(-look)))
+            rvn = (rv ** SPECULAR_POWER)[:, None]
+            max_light = jnp.max(light.color)
+            spec = reflect_c * (light.color / max_light)[None, :] * rvn
+            out = out + jnp.where(l[:, None], spec, 0.0)
+        return out
 
-        if not specular:
-            continue
-        # specular (ndt.c:276-310)
-        light_ref = mathnd.unitize(mathnd.reflect(light_vec, normal, 0.5))
-        rv = jnp.maximum(0.0, mathnd.dot(light_ref, mathnd.unitize(-look)))
-        rvn = (rv ** SPECULAR_POWER)[:, None]
-        max_light = jnp.max(light.color)
-        spec = reflect_c * (light.color / max_light)[None, :] * rvn
-        out = out + jnp.where(lit[:, None], spec, 0.0)
+    for li, light, lgt_pos, light_vec, ldist2, mask in pointish:
+        out = add_light_terms(out, li, light, light_vec, ldist2)
+    for li, light, rev_light, side_ok in directional:
+        light_vec = jnp.broadcast_to(light.dir[None, :], src.shape)
+        ldist2 = jnp.ones(r_shape, src.dtype)
+        out = add_light_terms(out, li, light, light_vec, ldist2)
 
     return out

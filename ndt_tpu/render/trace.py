@@ -29,12 +29,172 @@ from ndt_tpu.scene.compile import NOT_INFINITE, SceneData
 
 _BLOCK_FIELDS = ["spheres", "planes", "quadrics", "facets", "hfacets"]
 
+# trace implementation: 'auto' picks the Pallas megakernel on TPU for f32
+# scenes (falling back per-call for f64/CPU), 'jnp' forces the pure-XLA
+# kernels (golden-parity tests), 'pallas-interpret' runs the megakernel in
+# interpreter mode (CPU correctness tests of the kernel itself).
+_IMPL = "auto"
+
+
+def set_trace_impl(impl: str):
+    global _IMPL
+    assert impl in ("auto", "jnp", "pallas", "pallas-interpret"), impl
+    _IMPL = impl
+
+
+def _pallas_mode(scene, o):
+    if _IMPL == "jnp" or scene.pmeta is None or o.dtype != jnp.float32:
+        return None
+    if _IMPL == "pallas-interpret":
+        return "interpret"
+    if _IMPL == "pallas":
+        return "compiled"
+    import jax
+
+    return "compiled" if jax.default_backend() == "tpu" else None
+
+
+def _scene_blocks(scene):
+    out = []
+    for name in _BLOCK_FIELDS:
+        blk = getattr(scene, name)
+        if blk is None:
+            continue
+        dist_fn, norm_fn = intersect.KERNELS[name]
+        out.append((name, blk, norm_fn))
+    return out
+
+
+def _mat_table(scene):
+    return jnp.concatenate([jnp.asarray(b.mat_id)
+                            for _, b, _ in _scene_blocks(scene)])
+
+
+def _pad_rays(o, v, rt):
+    R = o.shape[0]
+    pad = (-R) % rt
+    if pad:
+        o = jnp.concatenate([o, jnp.ones((pad, o.shape[1]), o.dtype)])
+        v = jnp.concatenate([v, jnp.ones((pad, v.shape[1]), v.dtype)])
+    return o, v, R
+
+
+def _merge_extras(scene, o, v, t, mat, nrm, props):
+    """Fold facet/hfacet blocks (jnp kernels) into the megakernel winner."""
+    pre = None
+    for name in ("facets", "hfacets"):
+        blk = getattr(scene, name)
+        if blk is None:
+            continue
+        dist_fn, norm_fn = intersect.KERNELS[name]
+        if pre is None:
+            pre = intersect.ray_precompute(o, v)
+        t_e = dist_fn(blk, o, v, pre)
+        rows = jnp.argmin(t_e, axis=1)
+        t_best = jnp.take_along_axis(t_e, rows[:, None], 1)[:, 0]
+        better = t_best < t
+        mat_e = jnp.asarray(blk.mat_id)[rows]
+        t = jnp.where(better, t_best, t)
+        mat = jnp.where(better, mat_e, mat)
+        if nrm is not None:
+            point = o + v * t_best[:, None]
+            n_e = norm_fn(blk, rows, point, o, v, t_best)
+            nrm = jnp.where(better[:, None], n_e, nrm)
+        if props is not None:
+            safe = jnp.maximum(mat_e, 0)
+            props = {
+                "color": jnp.where(better[:, None], scene.color[safe],
+                                   props["color"]),
+                "reflect": jnp.where(better[:, None], scene.reflect[safe],
+                                     props["reflect"]),
+                "transparent": jnp.where(better, scene.transparent[safe],
+                                         props["transparent"]),
+                "ior": jnp.where(better, scene.refract_index[safe],
+                                 props["ior"]),
+            }
+    return t, mat, nrm, props
+
+
+def _pallas_closest(scene, o, v, mode, exclude_mat=None,
+                    need_normal=True):
+    """Closest hit via the megakernel (in-kernel local re-solve, normals,
+    and material resolution)."""
+    from ndt_tpu.render.pallas_trace import RT, pallas_trace
+
+    o_p, v_p, R = _pad_rays(o, v, RT)
+    if exclude_mat is None:
+        aux = jnp.full((o_p.shape[0],), -1, jnp.int32)
+    else:
+        aux = exclude_mat.astype(jnp.int32)
+        if o_p.shape[0] != R:
+            aux = jnp.concatenate(
+                [aux, jnp.full((o_p.shape[0] - R,), -1, jnp.int32)])
+    kmode = "closest" if need_normal else "any"
+    t, mat, nrm, props = pallas_trace(scene.ptables, o_p, v_p, aux,
+                                      scene.pmeta, kmode,
+                                      interpret=(mode == "interpret"))
+    t, mat = t[:R], mat[:R]
+    nrm = nrm[:R] if nrm is not None else None
+    if props is not None:
+        props = props[:R]
+        props = {"color": props[:, 0:3], "reflect": props[:, 3:6],
+                 "transparent": props[:, 6], "ior": props[:, 7]}
+    t, mat, nrm, props = _merge_extras(scene, o, v, t, mat, nrm, props)
+    hit = t < BIG * 0.5
+    mat = jnp.where(hit, mat, -1)
+    return t, hit, mat, nrm, props
+
+
+def _pallas_shadow(scene, o, v, limit, mode):
+    from ndt_tpu.render.pallas_trace import RT, pallas_trace
+
+    o_p, v_p, R = _pad_rays(o, v, RT)
+    aux = limit.astype(jnp.float32)
+    if o_p.shape[0] != R:
+        aux = jnp.concatenate(
+            [aux, jnp.zeros((o_p.shape[0] - R,), jnp.float32)])
+    t, mat, _, _ = pallas_trace(scene.ptables, o_p, v_p, aux, scene.pmeta,
+                                "shadow", interpret=(mode == "interpret"))
+    t, mat = t[:R], mat[:R]
+    # facet/hfacet leaves are always finite: plain closest-min merge
+    t, mat, _, _ = _merge_extras(scene, o, v, t, mat, None, None)
+    hit = t < BIG * 0.5
+    mat = jnp.where(hit, mat, -1)
+    point = o + v * t[:, None]
+    return TraceResult(t=t, hit=hit, mat_id=mat, point=point, normal=None)
+
+
+class TraceResult(NamedTuple):
+    t: jnp.ndarray        # [R] hit distance, >= BIG when no hit
+    hit: jnp.ndarray      # [R] bool
+    mat_id: jnp.ndarray   # [R] int32, -1 when no hit
+    point: jnp.ndarray    # [R, D]
+    normal: Optional[jnp.ndarray]  # [R, D] (un-normalized, like the C)
+    # winner material, resolved in-kernel on the pallas path so the engine
+    # never does per-ray gathers (zeros on miss)
+    color: Optional[jnp.ndarray] = None        # [R, 3]
+    reflect: Optional[jnp.ndarray] = None      # [R, 3]
+    transparent: Optional[jnp.ndarray] = None  # [R]
+    ior: Optional[jnp.ndarray] = None          # [R]
+
+
+def _gather_props(scene, mat_id, hit):
+    """Material lookup for the jnp path (gathers are cheap on CPU)."""
+    safe = jnp.maximum(mat_id, 0)
+    m = hit[:, None]
+    return dict(
+        color=jnp.where(m, scene.color[safe], 0.0),
+        reflect=jnp.where(m, scene.reflect[safe], 0.0),
+        transparent=jnp.where(hit, scene.transparent[safe], 0.0),
+        ior=jnp.where(hit, scene.refract_index[safe], 1.0))
+
 
 def _refine_winner(blocks, idx, o, v, t_min, hit):
     """Hit-local re-solve of the winning object's root for curved families
     (see intersect.REFINERS); planar winners pass through unchanged.
     Returns (t_refined, valid): margin-band candidates the refine pass
-    reveals as true misses come back invalid."""
+    reveals as true misses come back invalid.  (jnp path only -- the pallas
+    kernel refines in-kernel.)"""
     valid = jnp.ones_like(hit)
     off = 0
     for name, blk, _ in blocks:
@@ -72,37 +232,38 @@ def _closest_with_refine(blocks, t_all, mat_all, o, v, rounds: int = 2):
     return idx, t_min, hit, mat_id
 
 
-class TraceResult(NamedTuple):
-    t: jnp.ndarray        # [R] hit distance, >= BIG when no hit
-    hit: jnp.ndarray      # [R] bool
-    mat_id: jnp.ndarray   # [R] int32, -1 when no hit
-    point: jnp.ndarray    # [R, D]
-    normal: Optional[jnp.ndarray]  # [R, D] (un-normalized, like the C)
-
-
 def trace(scene: SceneData, o, v, need_normal: bool = True) -> TraceResult:
     """Closest hit of rays (o, v) against the whole scene.
 
     o, v: [R, D].  v need not be exactly unit (the engine unitizes, matching
     the C which traces unitized look/shadow/bounce vectors)."""
-    pre = intersect.ray_precompute(o, v)
+    mode = _pallas_mode(scene, o)
+    if mode is not None:
+        t_min, hit, mat_id, nrm, props = _pallas_closest(
+            scene, o, v, mode, need_normal=need_normal)
+        point = o + v * t_min[:, None]
+        if props is None:
+            props = _gather_props(scene, mat_id, hit)
+        return TraceResult(t=t_min, hit=hit, mat_id=mat_id, point=point,
+                           normal=(nrm if need_normal else None), **props)
+    if True:
+        pre = intersect.ray_precompute(o, v)
+        ts, mats = [], []
+        blocks = []
+        for name in _BLOCK_FIELDS:
+            blk = getattr(scene, name)
+            if blk is None:
+                continue
+            dist_fn, norm_fn = intersect.KERNELS[name]
+            ts.append(dist_fn(blk, o, v, pre))
+            mats.append(blk.mat_id)
+            blocks.append((name, blk, norm_fn))
 
-    ts, mats = [], []
-    blocks = []
-    for name in _BLOCK_FIELDS:
-        blk = getattr(scene, name)
-        if blk is None:
-            continue
-        dist_fn, norm_fn = intersect.KERNELS[name]
-        ts.append(dist_fn(blk, o, v, pre))
-        mats.append(blk.mat_id)
-        blocks.append((name, blk, norm_fn))
+        t_all = jnp.concatenate(ts, axis=1)               # [R, N]
+        mat_all = jnp.concatenate([jnp.asarray(m) for m in mats])  # [N]
 
-    t_all = jnp.concatenate(ts, axis=1)               # [R, N]
-    mat_all = jnp.concatenate([jnp.asarray(m) for m in mats])  # [N]
-
-    idx, t_min, hit, mat_id = _closest_with_refine(blocks, t_all, mat_all,
-                                                   o, v)
+        idx, t_min, hit, mat_id = _closest_with_refine(blocks, t_all,
+                                                       mat_all, o, v)
     point = o + v * t_min[:, None]
 
     normal = None
@@ -117,7 +278,7 @@ def trace(scene: SceneData, o, v, need_normal: bool = True) -> TraceResult:
             normal = jnp.where(in_block[:, None], nb, normal)
             off += n_b
     return TraceResult(t=t_min, hit=hit, mat_id=mat_id, point=point,
-                       normal=normal)
+                       normal=normal, **_gather_props(scene, mat_id, hit))
 
 
 def occlusion_trace(scene: SceneData, o, v, exclude_mat=None) -> TraceResult:
@@ -132,6 +293,13 @@ def occlusion_trace(scene: SceneData, o, v, exclude_mat=None) -> TraceResult:
     -- but at f32 the re-entry decision sits below machine precision, so we
     exclude it outright instead of resolving it numerically (the f64 C gets
     the same answer by brute precision)."""
+    mode = _pallas_mode(scene, o)
+    if mode is not None:
+        t_min, hit, mat_id, _, _ = _pallas_closest(
+            scene, o, v, mode, exclude_mat=exclude_mat, need_normal=False)
+        point = o + v * t_min[:, None]
+        return TraceResult(t=t_min, hit=hit, mat_id=mat_id, point=point,
+                           normal=None)
     pre = intersect.ray_precompute(o, v)
     ts, mats = [], []
     for name in _BLOCK_FIELDS:
@@ -168,6 +336,9 @@ def shadow_trace(scene: SceneData, o, v, limit) -> TraceResult:
     Vectorized: ``shadow_rank`` orders infinite leaves; the first rank hit
     within the limit truncates which infinite leaves may win.
     """
+    mode = _pallas_mode(scene, o)
+    if mode is not None:
+        return _pallas_shadow(scene, o, v, limit, mode)
     pre = intersect.ray_precompute(o, v)
 
     ts, mats, ranks, blocks = [], [], [], []

@@ -155,6 +155,11 @@ class SceneData:
 
     lights: tuple = ()          # tuple of LightData
 
+    # Pallas megakernel specialization (f32 scenes only): static layout
+    # meta + packed SMEM parameter tables (render/pallas_trace.py)
+    pmeta: object = struct.field(pytree_node=False, default=None)
+    ptables: tuple = ()
+
     @property
     def blocks(self):
         out = []
@@ -478,7 +483,7 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
     transparent = np.array([1.0 if m.transparent else 0.0 for m in materials])
     refract = np.array([m.refract_index for m in materials])
 
-    return SceneData(
+    sd = SceneData(
         dim=scene.dim,
         n_materials=len(materials),
         has_transparent=bool(transparent.any()),
@@ -489,3 +494,10 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
         bg=scene.bg.astype(dt), bg_alpha=dt(scene.bg_alpha),
         lights=compile_lights(scene, dt),
         **kwargs)
+
+    if dt == np.float32:
+        from ndt_tpu.render.pallas_trace import pack_params
+
+        pmeta, ptables = pack_params(sd)
+        sd = sd.replace(pmeta=pmeta, ptables=ptables)
+    return sd

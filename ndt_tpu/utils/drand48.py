@@ -25,5 +25,10 @@ class Drand48:
         self._x = (_A * self._x + _C) % _M
         return self._x / _M
 
+    def lrand48(self) -> int:
+        """Non-negative long: high 31 bits of the next state."""
+        self._x = (_A * self._x + _C) % _M
+        return self._x >> 17
+
     def __call__(self) -> float:
         return self.drand48()
