@@ -56,18 +56,36 @@ def main():
             k, opts),
         static_argnames=())
 
-    # device-complete render forced by a scalar checksum
-    forced = jax.jit(lambda s, x, y, k: jax.tree_util.tree_map(
-        lambda l: l.sum(), rays_fn(s, x, y, k)[0]))
-    _ = float(forced(scene_data, x, y, key))          # compile + warm
+    def make_k(K):
+        """K chained frame renders in ONE device program, forced by a
+        scalar checksum: the (K_hi - K_lo) slope isolates pure device time
+        from this harness's per-dispatch tunnel latency (~25 ms, absent on
+        a production PCIe-attached host)."""
+        @jax.jit
+        def f(s, x, y, k):
+            def body(i, acc):
+                o, v = gen_rays(cam_data, x, y, jax.random.fold_in(k, i),
+                                opts, "center", False, False)
+                c, d, n = render_rays(s, o, v, jax.random.fold_in(k, i),
+                                      opts)
+                return acc + c.sum() + d.sum() + n.astype(jnp.float32)
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+        return f
+
     nrays = int(jax.jit(lambda s, x, y, k: rays_fn(s, x, y, k)[2])(
         scene_data, x, y, key))
 
     reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        chk = float(forced(scene_data, x, y, key))
-    render_s = (time.perf_counter() - t0) / reps
+    timed = {}
+    for K in (1, 8):
+        f = make_k(K)
+        _ = float(f(scene_data, x, y, key))           # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            chk = float(f(scene_data, x, y, key))
+        timed[K] = (time.perf_counter() - t0) / reps
+    render_s = (timed[8] - timed[1]) / 7
+    dispatch_s = timed[1] - render_s
 
     # end-to-end including the framebuffer download through this harness's
     # device tunnel (one frame)
@@ -85,6 +103,7 @@ def main():
         "detail": {
             "rays_per_frame": nrays,
             "seconds_per_frame_device": round(render_s, 4),
+            "harness_dispatch_overhead_s": round(dispatch_s, 4),
             "seconds_incl_host_download": round(e2e_s, 4),
             "resolution": f"{width}x{height}",
         },

@@ -528,9 +528,10 @@ def cull_lists(params, o, v, meta):
     may_hit = (perp2_lo <= r2[None, :]) & ((-voc_lo + r) >= EPSILON)
     may_hit = may_hit | (r2[None, :] < 0.0)   # infinite leaves never cull
 
-    # per-family stable compaction: surviving gids first
+    # per-family stable compaction: surviving gids first.  Sort-free --
+    # cumsum ranks + a one-hot scatter (sorts are slow on TPU; this is a
+    # handful of small elementwise/matmul ops)
     n_tot = bnd.shape[0]
-    gids = jnp.arange(n_tot, dtype=jnp.int32)[None, :]
     fam_sizes = [meta.n_sph, meta.n_pln, meta.n_quad]
     lists = []
     counts = []
@@ -540,9 +541,11 @@ def cull_lists(params, o, v, meta):
             counts.append(jnp.zeros((n_tiles,), jnp.int32))
             continue
         mh = may_hit[:, off:off + sz]
-        order = jnp.argsort(~mh, axis=1, stable=True)
-        lists.append(jnp.take_along_axis(
-            jnp.broadcast_to(gids[:, off:off + sz], mh.shape), order, 1))
+        pos = jnp.cumsum(mh.astype(jnp.int32), axis=1) - 1     # [T, sz]
+        slots = jnp.arange(sz, dtype=jnp.int32)
+        onehot = (pos[:, :, None] == slots[None, None, :]) & mh[:, :, None]
+        gid_col = (slots + off)[None, :, None]
+        lists.append((onehot * gid_col).sum(1).astype(jnp.int32))
         counts.append(mh.sum(1, dtype=jnp.int32))
         off += sz
     lists = (jnp.concatenate(lists, axis=1) if lists
