@@ -158,7 +158,11 @@ def main(argv=None):
         width=width, height=height, samples=args.samples,
         max_optic_depth=max_depth, stereo=stereo,
         specular=not args.no_specular, record_depth=args.depth_map,
+        whitted=args.whitted and stereo == "mono",
+        aa_diff=aa_diff, aa_depth=aa_depth,
         seed=0)
+    if args.whitted and stereo != "mono":
+        print("warning: -w currently applies to mono rendering only")
 
     # output layout (ndt.c:1840-1873)
     res_str = f"{width}x{height}"

@@ -1,0 +1,139 @@
+"""Animation runner: the FRAME-distribution modes, TPU-style.
+
+The reference farms whole frames to MPI ranks (MPI_MODE_FRAME/FRAME2,
+ndt.c:55-56, 1770-1998): rank 0 builds every scene (stateful scenes stay
+consistent), ships them to workers, and collects/saves rendered frames.
+Here the same shape is: the host builds every scene in order (physics state
+lives host-side) and hands frames to the renderer; PNG encoding runs on a
+background pool (image_io.AsyncSaver plays the role of the background save
+threads, image.c:741-803), overlapping with the next frame's render.
+``render_animation_multidevice`` additionally round-robins whole frames
+across the available jax devices with async dispatch -- the FRAME-mode
+analogue, with device placement replacing MPI_Send of serialized scenes
+(ndt.c:1831-1837).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+
+from ndt_tpu.image_io import AsyncSaver, save_depth
+from ndt_tpu.render.engine import RenderOptions, render_frame
+from ndt_tpu.scene.model import Scene
+from ndt_tpu.utils.timing import Timer
+
+
+@dataclasses.dataclass
+class FrameResult:
+    index: int
+    path: str
+    seconds: float
+    rays: int
+
+
+def render_animation(scene_mod, dimensions: int, first: int, last: int,
+                     total: int, opts: RenderOptions,
+                     out_dir: str, name_fmt: str = "{name}_{res}_{i:04d}.png",
+                     config: Optional[str] = None,
+                     scene_hook: Optional[Callable[[Scene, int], None]] = None,
+                     progress: Optional[Callable[[FrameResult], None]] = None):
+    """Render frames [first, last] of an animation.
+
+    scene_setup runs for EVERY frame index from 0, including skipped ones,
+    so stateful scenes (balls physics) stay consistent with the reference's
+    resume semantics (ndt.c:1818-1825)."""
+    saver = AsyncSaver()
+    timer = Timer()
+    results = []
+    res_str = f"{opts.width}x{opts.height}"
+    total_rays = 0
+    for i in range(0, last + 1):
+        scn = Scene("scene", dimensions)
+        scene_mod.scene_setup(scn, dimensions, i, total, config)
+        if i < first:
+            continue
+        if scene_hook is not None:
+            scene_hook(scn, i)
+        t = Timer()
+        img, depth, nrays = render_frame(scn, opts)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, name_fmt.format(
+            name=scn.name, res=res_str, i=i))
+        saver.save(path, img)
+        if opts.record_depth and depth is not None:
+            ddir = os.path.join(out_dir, "depth")
+            os.makedirs(ddir, exist_ok=True)
+            save_depth(os.path.join(ddir, name_fmt.format(
+                name=scn.name, res=res_str, i=i)), depth)
+        total_rays += int(nrays)
+        r = FrameResult(i, path, t.elapsed(), int(nrays))
+        results.append(r)
+        if progress is not None:
+            progress(r)
+    saver.drain()
+    return results, timer.elapsed(), total_rays
+
+
+def render_animation_multidevice(scene_mod, dimensions: int, first: int,
+                                 last: int, total: int, opts: RenderOptions,
+                                 out_dir: str, config: Optional[str] = None,
+                                 devices=None):
+    """FRAME-mode parallelism: frame i renders on device i % n, all frames
+    dispatched asynchronously (one fused XLA program per frame), collected
+    and saved in order.  The scene pytree for each frame is device_put to
+    its worker -- the moral equivalent of mpi_send_scene (ndt.c:1193-1246)
+    without the YAML round-trip, since pytrees ship directly."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from ndt_tpu.render.engine import _pixel_grid, render_tile_fused
+    from ndt_tpu.scene.compile import compile_scene
+
+    devices = list(devices if devices is not None else jax.devices())
+    saver = AsyncSaver()
+    timer = Timer()
+    res_str = f"{opts.width}x{opts.height}"
+    dt = np.dtype(opts.dtype)
+
+    xx, yy = _pixel_grid(opts.width, opts.height, dt)
+    pending = []  # (index, device arrays)
+    os.makedirs(out_dir, exist_ok=True)
+    total_rays = 0
+    for i in range(0, last + 1):
+        scn = Scene("scene", dimensions)
+        scene_mod.scene_setup(scn, dimensions, i, total, config)
+        if i < first:
+            continue
+        if not scn.cam.prepared:
+            scn.cam.aim()
+        dev = devices[(i - first) % len(devices)]
+        sd = jax.device_put(compile_scene(scn, dt), dev)
+        cd = scn.cam.data(dt.type)
+        cd = dc.replace(cd, dir_x=cd.dir_x * dt.type(opts.width / opts.height))
+        cd = jax.device_put(cd, dev)
+        x = jax.device_put(jnp.asarray(xx.ravel()), dev)
+        y = jax.device_put(jnp.asarray(yy.ravel()), dev)
+        key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), i)
+        c, d, n = render_tile_fused(sd, cd, x, y, key, opts, "center")
+        pending.append((i, scn.name, c, d, n))
+        # collect when every device has a frame in flight
+        if len(pending) >= len(devices):
+            total_rays += _drain_one(pending, saver, out_dir, res_str, opts)
+    while pending:
+        total_rays += _drain_one(pending, saver, out_dir, res_str, opts)
+    saver.drain()
+    return timer.elapsed(), total_rays
+
+
+def _drain_one(pending, saver, out_dir, res_str, opts):
+    i, name, c, d, n = pending.pop(0)
+    img = np.asarray(c).reshape(opts.height, opts.width, 3)
+    saver.save(os.path.join(out_dir, f"{name}_{res_str}_{i:04d}.png"), img)
+    return int(n)

@@ -58,6 +58,12 @@ class RenderOptions:
     stereo: str = "mono"             # -m: mono|side|over|anaglyph|hidef
     specular: bool = True            # -p disables
     record_depth: bool = False       # -z
+    whitted: bool = False            # -w recursive anti-aliasing
+    aa_diff: int = 20                # -a diff,depth
+    aa_depth: int = 4
+    adaptive: bool = True            # per-pixel convergence sampling (C
+                                     # always adapts; only kicks in with
+                                     # jittered samples > 1)
     dtype: str = "float32"
     tile: int = 1 << 16              # rays per device dispatch
     stack_size: int = 16             # pending refraction branches per ray
@@ -434,6 +440,13 @@ def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
     P = xx.size
     h, w = xx.shape
     perm, inv = _blocked_perm(w, h)
+    if opts.adaptive and opts.samples > 1:
+        from ndt_tpu.render.adaptive import render_adaptive_samples
+
+        c, d, n = render_adaptive_samples(
+            scene_data, cam_data, xx.ravel()[perm], yy.ravel()[perm], key,
+            opts, eye)
+        return c[inv], d[inv], n
     tile = min(opts.tile, max(1, P))
     pad = (-P) % tile
     xf = np.concatenate([xx.ravel()[perm], np.zeros(pad, xx.dtype)])
@@ -477,11 +490,27 @@ def render_frame(scene_host, opts: RenderOptions):
         return _pixel_grid(w, h, dt)
 
     if opts.stereo == "mono":
-        xx, yy = grid_for(W, H)
-        c, d, n = _render_grid(scene_data, cam_data, xx, yy, opts, "center", key)
-        img[:] = c.reshape(H, W, 3)
-        dep[:] = d.reshape(H, W)
-        rays += n
+        if opts.whitted:
+            # Whitted corner-grid AA (ndt.c:900-1103): pass 1 on the
+            # (W+1) x (H+1) corner grid, pass 2 refines noisy pixels
+            from ndt_tpu.render.adaptive import whitted_refine
+
+            xx, yy = grid_for(W + 1, H + 1)
+            c, d, n = _render_grid(scene_data, cam_data, xx, yy, opts,
+                                   "center", key)
+            corners = c.reshape(H + 1, W + 1, 3)
+            img[:], n_resampled, extra = whitted_refine(
+                scene_data, cam_data, corners, opts, opts.aa_diff,
+                opts.aa_depth, key)
+            dep[:] = d.reshape(H + 1, W + 1)[:H, :W]
+            rays += n + extra
+        else:
+            xx, yy = grid_for(W, H)
+            c, d, n = _render_grid(scene_data, cam_data, xx, yy, opts,
+                                   "center", key)
+            img[:] = c.reshape(H, W, 3)
+            dep[:] = d.reshape(H, W)
+            rays += n
     elif opts.stereo == "side":
         # left/right halves, x rescaled by x_scale=0.5 (ndt.c:590-600)
         xx, yy = grid_for(W, H)

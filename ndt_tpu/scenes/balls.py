@@ -73,6 +73,18 @@ def _init_balls(dim):
 def _step_physics(st):
     pos, vel, radius, mass = st["pos"], st["vel"], st["radius"], st["mass"]
     scale = 1.0 / (UPDATES_PER_FRAME * FPS)
+
+    # native C++ stepper (ndt_tpu/native/physics.cc) reproduces the loop
+    # below exactly; numpy is the fallback when no compiler is available
+    from ndt_tpu import native
+
+    pos = np.ascontiguousarray(pos)
+    vel = np.ascontiguousarray(vel)
+    if native.step_balls(pos, vel, radius, mass, UPDATES_PER_FRAME, scale,
+                         BOX_SIZE):
+        st["pos"], st["vel"] = pos, vel
+        return
+
     for _ in range(UPDATES_PER_FRAME):
         # move + wall bounce (balls.c:236-254)
         pos += vel * scale

@@ -14,6 +14,7 @@ def scene_frames(dimensions, config=None):
 
 
 def scene_setup(scn: Scene, dimensions, frame, frames, config=None):
+    scn.name = "test"
     t = frame / float(frames)
     d = dimensions
 

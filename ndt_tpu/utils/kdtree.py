@@ -1,0 +1,180 @@
+"""N-D AABB kd-tree (kd-tree.{h,c} rebuild, host side).
+
+The reference's default culling structure: every object contributes an AABB
+(from its bounding points +- radius, object.c:633-681); the build evaluates
+candidate split planes at each item's lower-2eps / upper+2eps in every
+dimension and keeps the best score ``n - (|left - right| + 2*straddling)``
+(kdtree_split_score, kd-tree.c:294-313), recursing until no useful split.
+Infinite objects are segregated and checked linearly (kd-tree.c:433-464).
+
+On the TPU the brute-force megakernel with per-tile interval culling
+(render/pallas_trace.py) plays the traversal's role -- this module provides
+the same spatial index for host-side queries, scene statistics, and as the
+planned second level of culling for scenes with thousands of objects: the
+tree flattens to arrays (nodes/bounds/item lists) that a future kernel can
+walk with a fixed-depth stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from ndt_tpu.constants import EPSILON
+
+
+@dataclasses.dataclass
+class AABB:
+    lower: np.ndarray
+    upper: np.ndarray
+
+    @classmethod
+    def empty(cls, dim):
+        return cls(np.full(dim, np.inf), np.full(dim, -np.inf))
+
+    def add_point(self, p):
+        self.lower = np.minimum(self.lower, p)
+        self.upper = np.maximum(self.upper, p)
+
+    def add(self, other: "AABB"):
+        self.lower = np.minimum(self.lower, other.lower)
+        self.upper = np.maximum(self.upper, other.upper)
+
+    def intersect(self, o, v):
+        """Slab test (aabb_intersect, kd-tree.c:84-127): returns
+        (hit, t_low, t_high)."""
+        tl, tu = -np.inf, np.inf
+        for i in range(len(o)):
+            if abs(v[i]) < EPSILON * EPSILON:
+                if o[i] < self.lower[i] or o[i] > self.upper[i]:
+                    return False, 0.0, 0.0
+                continue
+            t1 = (self.lower[i] - o[i]) / v[i]
+            t2 = (self.upper[i] - o[i]) / v[i]
+            if t1 > t2:
+                t1, t2 = t2, t1
+            tl = max(tl, t1)
+            tu = min(tu, t2)
+        return tu >= tl, tl, tu
+
+
+@dataclasses.dataclass
+class KdItem:
+    bb: AABB
+    obj_id: int
+
+
+@dataclasses.dataclass
+class KdNode:
+    items: List[KdItem]
+    dim: int = -1            # -1 => leaf
+    boundary: float = 0.0
+    left: Optional["KdNode"] = None
+    right: Optional["KdNode"] = None
+
+
+def item_from_bounds(bounds, obj_id) -> KdItem:
+    """object_kdlist_add (object.c:633-681): AABB over the object's
+    bounding points inflated by their radii."""
+    dim = len(bounds[0][0])
+    bb = AABB.empty(dim)
+    for center, radius in bounds:
+        r = abs(radius)
+        bb.add_point(np.asarray(center) + r)
+        bb.add_point(np.asarray(center) - r)
+    return KdItem(bb, obj_id)
+
+
+def _split_score(items, dim, pos):
+    """kdtree_split_score (kd-tree.c:294-313)."""
+    left = right = straddle = 0
+    for it in items:
+        if it.bb.upper[dim] < pos - EPSILON:
+            left += 1
+        elif it.bb.lower[dim] > pos + EPSILON:
+            right += 1
+        else:
+            straddle += 1
+    return len(items) - (abs(left - right) + 2 * straddle)
+
+
+def build(items: List[KdItem], max_depth: int = 32,
+          min_items: int = 4) -> KdNode:
+    """kd_tree_split_node (kd-tree.c:315-419): exhaustive candidate splits
+    at item bounds +-2eps, recurse while the best score improves."""
+    node = KdNode(items=list(items))
+    if len(items) <= min_items or max_depth <= 0:
+        return node
+    dim = len(items[0].bb.lower)
+    best = (0, -1, 0.0)
+    for d in range(dim):
+        for it in items:
+            for cand in (it.bb.lower[d] - 2 * EPSILON,
+                         it.bb.upper[d] + 2 * EPSILON):
+                score = _split_score(items, d, cand)
+                if score > best[0]:
+                    best = (score, d, cand)
+    if best[1] < 0:
+        return node
+    _, d, pos = best
+    left_items = [it for it in items if it.bb.lower[d] <= pos + EPSILON]
+    right_items = [it for it in items if it.bb.upper[d] >= pos - EPSILON]
+    if len(left_items) == len(items) and len(right_items) == len(items):
+        return node  # no separation: leaf
+    node.dim = d
+    node.boundary = pos
+    node.items = [it for it in items
+                  if it.bb.lower[d] <= pos + EPSILON
+                  and it.bb.upper[d] >= pos - EPSILON]  # straddlers
+    node.left = build([it for it in left_items if it not in node.items],
+                      max_depth - 1, min_items)
+    node.right = build([it for it in right_items if it not in node.items],
+                       max_depth - 1, min_items)
+    return node
+
+
+def query_ray(node: KdNode, o, v, out=None) -> List[int]:
+    """Candidate object ids along a ray, near-to-far-ish (kd_node_intersect
+    traversal shape, kd-tree.c:482-568); duplicates removed like the
+    obj_mask dedup (object.c:706-713)."""
+    if out is None:
+        out = []
+    if node is None:
+        return out
+    for it in node.items:
+        hit, tl, tu = it.bb.intersect(o, v)
+        if hit and tu >= 0:
+            if it.obj_id not in out:
+                out.append(it.obj_id)
+    if node.dim >= 0:
+        near, far = node.left, node.right
+        if v[node.dim] < 0:
+            near, far = far, near
+        query_ray(near, o, v, out)
+        query_ray(far, o, v, out)
+    return out
+
+
+def flatten(node: KdNode):
+    """Linearize to arrays for a future in-kernel traversal: returns
+    (node_dims, boundaries, child_indices [n,2], item_offsets, item_ids)."""
+    dims, bounds, children, offsets, ids = [], [], [], [], []
+
+    def walk(n):
+        idx = len(dims)
+        dims.append(n.dim)
+        bounds.append(n.boundary)
+        children.append([-1, -1])
+        offsets.append((len(ids), len(n.items)))
+        ids.extend(it.obj_id for it in n.items)
+        if n.dim >= 0:
+            children[idx][0] = walk(n.left)
+            children[idx][1] = walk(n.right)
+        return idx
+
+    walk(node)
+    return (np.array(dims, np.int32), np.array(bounds, np.float64),
+            np.array(children, np.int32), np.array(offsets, np.int32),
+            np.array(ids, np.int32))
