@@ -264,6 +264,9 @@ class Camera:
             local_z=np.asarray(self.local_z, dtype=dtype),
             h_fov=dtype(self.h_fov),
             v_fov=dtype(self.v_fov),
+            # f64 on host: float32 rounds pi/2 UP, flipping tan's sign at
+            # vFov=pi (the C's tan(M_PI/2) is +1.6e16; f32's is negative)
+            tan_half_v=dtype(np.tan(float(self.v_fov) / 2.0)),
             focal_distance=dtype(self.focal_distance),
             aperture_radius=dtype(self.aperture_radius),
         )
@@ -285,6 +288,7 @@ class CameraData:
     local_z: object
     h_fov: object
     v_fov: object
+    tan_half_v: object
     focal_distance: object
     aperture_radius: object
 
@@ -292,7 +296,8 @@ class CameraData:
 def _camera_data_flatten(cd):
     children = (cd.pos, cd.img_orig, cd.dir_x, cd.dir_y, cd.left_eye,
                 cd.right_eye, cd.local_x, cd.local_y, cd.local_z,
-                cd.h_fov, cd.v_fov, cd.focal_distance, cd.aperture_radius)
+                cd.h_fov, cd.v_fov, cd.tan_half_v, cd.focal_distance,
+                cd.aperture_radius)
     return children, cd.cam_type
 
 
@@ -323,7 +328,7 @@ def target_point(cam: CameraData, x, y, dist):
                 + cam.local_z * view_z[..., None])
     if cam.cam_type == int(CameraType.PANO):
         azi = x * cam.h_fov
-        y_size = 2.0 * xp.tan(cam.v_fov / 2.0) * dist
+        y_size = 2.0 * cam.tan_half_v * dist  # camera.c:540, f64 tan
         view_x = dist * xp.sin(azi)
         view_y = y * y_size
         view_z = dist * xp.cos(azi) + 0.0 * azi

@@ -47,7 +47,7 @@ STEREO_NAMES = {"s": ("side", "sbs2l"), "o": ("over", "ab2l"),
 QUALITY = {"h": (17, 1, 128), "m": (2, 1, 20), "l": (0, 255, 5),
            "f": (0, 255, 1)}
 RESOLUTIONS = {"4k": (3840, 2160), "1080p": (1920, 1080),
-               "720p": (1280, 720), "480p": (640, 480)}
+               "720p": (1280, 720), "480p": (720, 480)}
 
 
 def parse_frames(spec: str):

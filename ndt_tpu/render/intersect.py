@@ -209,7 +209,40 @@ def quadric_distances(blk, o, v, pre):
             & (jnp.abs(surf) <= EPSILON) & ends_ok(t_f))
     t_slab = jnp.where(ok_f, t_f, MISS)
 
-    return jnp.where(ok2 | ok1, t_quad, t_slab)
+    t_out = jnp.where(ok2 | ok1, t_quad, t_slab)
+
+    # kd leaf-cell gate: the reference only TESTS an object when traversal
+    # visits a leaf cell containing it (kd_node_intersect, kd-tree.c:482-568
+    # entered through aabb_intersect(&tree->bb), kd-tree.c:598), which both
+    # clips the orthotope's EPSILON-shell halo at silhouettes and preserves
+    # the shell hits the C does show inside larger cells.  gate_t* are
+    # +/-BIG single boxes for non-slab quadrics, making this a no-op there.
+    # Per aabb_intersect, near-parallel dims (|v| < EPSILON^2) skip the
+    # t-slab test (kd-tree.c:97-99) but traversal still picks children by
+    # POSITION there (kd-tree.c:556-566) -- hence the separate gate_p*.
+    B = blk.gate_tlo.shape[1]
+    if B == 0:              # scene has no slabs: gate statically absent
+        return t_out
+    pierced = jnp.zeros(qa.shape, bool)
+    for b in range(B):
+        tl = jnp.full_like(qa, -BIG)
+        tu = jnp.full_like(qa, BIG)
+        ok_pos = jnp.ones(qa.shape, bool)
+        for d in range(D):
+            vd = v[:, d][:, None]
+            od = o[:, d][:, None]
+            usable = jnp.abs(vd) >= EPSILON * EPSILON   # EPSILON2
+            safe_v = jnp.where(usable, vd, 1.0)
+            t_a = (blk.gate_tlo[:, b, d][None, :] - od) / safe_v
+            t_b = (blk.gate_thi[:, b, d][None, :] - od) / safe_v
+            tl = jnp.where(usable, jnp.maximum(tl, jnp.minimum(t_a, t_b)), tl)
+            tu = jnp.where(usable, jnp.minimum(tu, jnp.maximum(t_a, t_b)), tu)
+            ok_pos &= usable | (
+                (od >= blk.gate_plo[:, b, d][None, :] - EPSILON)
+                & (od <= blk.gate_phi[:, b, d][None, :] + EPSILON))
+        pierced |= (ok_pos & (tu + EPSILON >= -EPSILON)
+                    & (tl - EPSILON <= tu + EPSILON))
+    return jnp.where(pierced, t_out, MISS)
 
 
 def quadric_normal(blk, rows, hit, o, v, t):
@@ -316,6 +349,20 @@ def hfacet_distances(blk, o, v, pre):
                               xp, yp)
     for l in (l1, l2, l3):
         ok &= (l >= -EPSILON) & (l <= 1.0 + EPSILON)
+
+    # Per-ray bounding-sphere gate (bounding.c:34-85).  The ones-contraction
+    # solve enforces only ONE of the D-2 plane constraints, so it can return
+    # phantom "hits" whose point is far off the true plane (the barycentric
+    # test projects the point into the plane first, so it can't catch them).
+    # The C rejects these because trace() bounds-culls every object per ray
+    # BEFORE calling intersect (object.c:605-630); replicate that cull here:
+    # hit possible iff desc = voc^2 - |oc|^2 + r^2 >= 0 and the sphere is
+    # not entirely behind the origin (voc > 0 with voc^2 > desc).
+    oc2 = (pre["oo"][:, None] - 2.0 * _mm(o, blk.b_center)
+           + mathnd.dot(blk.b_center, blk.b_center)[None, :])
+    voc = pre["vo"][:, None] - _mm(v, blk.b_center)
+    desc = voc * voc - oc2 + (blk.b_radius * blk.b_radius)[None, :]
+    ok &= (desc >= 0.0) & ~((voc > 0.0) & (voc * voc > desc))
     return jnp.where(ok, t, MISS)
 
 

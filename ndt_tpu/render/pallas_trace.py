@@ -68,6 +68,7 @@ class PallasMeta(NamedTuple):
     n_pln: int
     n_quad: int
     a_quad: int  # padded axis count of the quadric block
+    b_gate: int  # kd leaf-cell gate boxes per quadric (1 = no gating)
 
 
 # --------------------------------------------------------------------------
@@ -76,8 +77,9 @@ class PallasMeta(NamedTuple):
 
 
 def _sphere_eval(sph_ref, n, o, v, D, want_normal):
-    c = [sph_ref[n, d] for d in range(D)]
-    r2 = sph_ref[n, D]
+    w = n * (D + 1)
+    c = [sph_ref[w + d] for d in range(D)]
+    r2 = sph_ref[w + D]
     oc = [o[d] - c[d] for d in range(D)]
     voc = sum(v[d] * oc[d] for d in range(D))
     t_hat = -voc                           # closest approach anchor
@@ -103,9 +105,10 @@ def _sphere_eval(sph_ref, n, o, v, D, want_normal):
 
 
 def _plane_eval(pln_ref, n, o, v, D, want_normal):
-    p = [pln_ref[n, d] for d in range(D)]
-    nv = [pln_ref[n, D + d] for d in range(D)]
-    r2 = pln_ref[n, 2 * D]
+    w = n * (2 * D + 1)
+    p = [pln_ref[w + d] for d in range(D)]
+    nv = [pln_ref[w + D + d] for d in range(D)]
+    r2 = pln_ref[w + 2 * D]
     ln = sum(v[d] * nv[d] for d in range(D))
     pln = sum((p[d] - o[d]) * nv[d] for d in range(D))
     dd = pln / jnp.where(jnp.abs(ln) > EPSILON, ln, 1.0)
@@ -122,14 +125,14 @@ def _plane_eval(pln_ref, n, o, v, D, want_normal):
     return t, nrm
 
 
-def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref, n, o, v,
-                  D, A, want_normal):
-    base = [qb_ref[n, d] for d in range(D)]
-    ax = [[qa_ref[n, i * D + d] for d in range(D)] for i in range(A)]
-    lo = [ql_ref[n, i] for i in range(A)]
-    hi = [qh_ref[n, i] for i in range(A)]
-    off = qo_ref[n, 0]
-    slab = qs_ref[n, 0]
+def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref,
+                  qgt_ref, qgp_ref, n, o, v, D, A, B, want_normal):
+    base = [qb_ref[n * D + d] for d in range(D)]
+    ax = [[qa_ref[n * A * D + i * D + d] for d in range(D)] for i in range(A)]
+    lo = [ql_ref[n * A + i] for i in range(A)]
+    hi = [qh_ref[n * A + i] for i in range(A)]
+    off = qo_ref[n]
+    slab = qs_ref[n]
 
     x = [o[d] - base[d] for d in range(D)]
     alpha = [sum(v[d] * ax[i][d] for d in range(D)) for i in range(A)]
@@ -182,6 +185,34 @@ def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref, n, o, v,
 
     t = jnp.where(ok2, t_near,
                   jnp.where(ok1, t_far, jnp.where(ok_f, t_f, BIG)))
+
+    # kd leaf-cell gate (see intersect.quadric_distances): the reference
+    # only tests a slab when the ray pierces a leaf cell containing its kd
+    # item, which bounds the orthotope's EPSILON-shell halo.  B == 1 with
+    # +/-BIG boxes when the scene has no slabs (no-op, folded by XLA).
+    if B:
+        pierced = None
+        for b in range(B):
+            tl = jnp.full(t.shape, -BIG)
+            tu = jnp.full(t.shape, BIG)
+            ok_pos = jnp.ones(t.shape, bool)
+            for d in range(D):
+                w = (n * B + b) * D + d
+                usable = jnp.abs(v[d]) >= EPSILON * EPSILON   # EPSILON2
+                safe_v = jnp.where(usable, v[d], 1.0)
+                t_a = (qgt_ref[2 * w] - o[d]) / safe_v
+                t_b = (qgt_ref[2 * w + 1] - o[d]) / safe_v
+                tl = jnp.where(usable,
+                               jnp.maximum(tl, jnp.minimum(t_a, t_b)), tl)
+                tu = jnp.where(usable,
+                               jnp.minimum(tu, jnp.maximum(t_a, t_b)), tu)
+                ok_pos &= usable | (
+                    (o[d] >= qgp_ref[2 * w] - EPSILON)
+                    & (o[d] <= qgp_ref[2 * w + 1] + EPSILON))
+            pb = (ok_pos & (tu + EPSILON >= -EPSILON)
+                  & (tl - EPSILON <= tu + EPSILON))
+            pierced = pb if pierced is None else (pierced | pb)
+        t = jnp.where(pierced, t, BIG)
     if not want_normal:
         return t, None
     delta = jnp.where(ok2, d_near, jnp.where(ok1, d_far, d_min))
@@ -253,7 +284,8 @@ def _make_kernel(meta: PallasMeta, mode: str):
     NOTINF = (1 << 30) - 1  # python literal; captured jnp consts are disallowed
 
     def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
-               qoff_ref, qslab_ref, mat_ref, rank_ref, bnd_ref, prop_ref,
+               qoff_ref, qslab_ref, qgt_ref, qgp_ref, mat_ref, rank_ref,
+               bnd_ref, prop_ref,
                lists_ref, counts_ref, o_ref, v_ref, aux_ref, *out_refs):
         o = [o_ref[d] for d in range(D)]       # each (RT//LANE, LANE)
         v = [v_ref[d] for d in range(D)]
@@ -274,7 +306,9 @@ def _make_kernel(meta: PallasMeta, mode: str):
             "pln": lambda n: _plane_eval(pln_ref, n, o, v, D, want_normal),
             "quad": lambda n: _quadric_eval(qbase_ref, qaxes_ref, qlo_ref,
                                             qhi_ref, qoff_ref, qslab_ref,
-                                            n, o, v, D, A, want_normal),
+                                            qgt_ref, qgp_ref,
+                                            n, o, v, D, A, meta.b_gate,
+                                            want_normal),
         }
 
         def families(visit):
@@ -302,7 +336,7 @@ def _make_kernel(meta: PallasMeta, mode: str):
                         t1, m1 = carry
                     n = row(k)
                     t, nrm = ev(k)
-                    mat = mat_ref[gid0 + n, 0]
+                    mat = mat_ref[gid0 + n]
                     t = jnp.where(mat == excl, BIG, t)
                     b = t < t1
                     t1 = jnp.where(b, t, t1)
@@ -340,11 +374,11 @@ def _make_kernel(meta: PallasMeta, mode: str):
                 # winner material properties from SMEM (no host gathers)
                 props = [jnp.zeros(shape, jnp.float32)
                          for _ in range(N_PROPS)]
-                n_mats = prop_ref.shape[0] if _USE_PROPS else 0
+                n_mats = prop_ref.shape[0] // N_PROPS if _USE_PROPS else 0
 
                 def prop_body(k, props):
                     sel = state["m1"] == k
-                    return [jnp.where(sel, prop_ref[k, j], pj)
+                    return [jnp.where(sel, prop_ref[k * N_PROPS + j], pj)
                             for j, pj in enumerate(props)]
 
                 props = jax.lax.fori_loop(0, n_mats, prop_body, props)
@@ -361,7 +395,7 @@ def _make_kernel(meta: PallasMeta, mode: str):
                 def body(k, fr):
                     n = row(k)
                     t, _ = ev(k)
-                    rank = rank_ref[gid0 + n, 0]
+                    rank = rank_ref[gid0 + n]
                     within = (t < limit) & (t < BIG * 0.5)
                     return jnp.where(within & (rank < NOTINF),
                                      jnp.minimum(fr, rank), fr)
@@ -381,12 +415,12 @@ def _make_kernel(meta: PallasMeta, mode: str):
                     t1, m1 = carry
                     n = row(k)
                     t, _ = ev(k)
-                    rank = rank_ref[gid0 + n, 0]
+                    rank = rank_ref[gid0 + n]
                     elig = (rank >= NOTINF) | (rank <= first["rank"])
                     t = jnp.where(elig, t, BIG)
                     b = t < t1
                     return (jnp.where(b, t, t1),
-                            jnp.where(b, mat_ref[gid0 + n, 0], m1))
+                            jnp.where(b, mat_ref[gid0 + n], m1))
 
                 out = jax.lax.fori_loop(0, count, body,
                                         (st["t1"], st["m1"]))
@@ -401,7 +435,12 @@ def _make_kernel(meta: PallasMeta, mode: str):
 
 
 def pack_params(scene):
-    """Flatten the supported blocks into SMEM-friendly 2-D tables."""
+    """Flatten the supported blocks into 1-D SMEM tables.
+
+    SMEM allocations are padded per-ROW to 512 bytes, so a [N, w] table
+    costs 512*N bytes regardless of w (268K at 533 objects -- an instant
+    smem OOM for hcube-expanded scenes).  Every per-object table is
+    therefore a flat row-major 1-D array indexed with static strides."""
     from ndt_tpu.scene.compile import NOT_INFINITE
 
     D = scene.dim
@@ -448,19 +487,33 @@ def pack_params(scene):
         mats.append(np.asarray(quad.mat_id, np.int32))
         ranks.append(np.asarray(quad.shadow_rank, np.int32))
         bnds.append(bounds_rows(quad))
+        B = quad.gate_tlo.shape[1]          # 0 = slab-free, gate skipped
+        # interleaved lo/hi per (object, box, dim): qgt[2w]=lo, qgt[2w+1]=hi
+        if B:
+            qgt = np.stack([np.asarray(quad.gate_tlo, f32),
+                            np.asarray(quad.gate_thi, f32)], axis=-1)
+            qgp = np.stack([np.asarray(quad.gate_plo, f32),
+                            np.asarray(quad.gate_phi, f32)], axis=-1)
+        else:
+            qgt = np.zeros((1, 1, D, 2), f32)
+            qgp = qgt
     else:
         A = 1
+        B = 1
         qbase = np.zeros((1, D), f32)
         qaxes = np.zeros((1, D), f32)
         qlo = np.zeros((1, 1), f32)
         qhi = np.zeros((1, 1), f32)
         qoff = np.zeros((1, 1), f32)
         qslab = np.zeros((1, 1), f32)
+        qgt = np.stack([np.full((1, 1, D), -BIG, f32),
+                        np.full((1, 1, D), BIG, f32)], axis=-1)
+        qgp = qgt
 
     mat_tab = (np.concatenate(mats) if mats
-               else np.zeros(1, np.int32))[:, None]
+               else np.zeros(1, np.int32))
     rank_tab = (np.concatenate(ranks) if ranks
-                else np.full(1, NOT_INFINITE, np.int32))[:, None]
+                else np.full(1, NOT_INFINITE, np.int32))
     bnd_tab = (np.concatenate(bnds) if bnds
                else np.full((1, D + 1), -1.0, f32))
 
@@ -475,9 +528,13 @@ def pack_params(scene):
         n_pln=0 if pln is None else pln.point.shape[0],
         n_quad=0 if quad is None else quad.base.shape[0],
         a_quad=A,
+        b_gate=B,
     )
-    return meta, (sph_tab, pln_tab, qbase, qaxes, qlo, qhi, qoff, qslab,
-                  mat_tab, rank_tab, bnd_tab, prop_tab)
+    return meta, (sph_tab.ravel(), pln_tab.ravel(), qbase.ravel(),
+                  qaxes.ravel(), qlo.ravel(), qhi.ravel(), qoff.ravel(),
+                  qslab.ravel(), qgt.ravel(), qgp.ravel(),
+                  mat_tab, rank_tab, bnd_tab.ravel(),
+                  prop_tab.ravel())
 
 
 def cull_lists(params, o, v, meta):
@@ -490,8 +547,8 @@ def cull_lists(params, o, v, meta):
     (bounding.c:34-85) but at tile granularity: the tile may hit the object
     unless the lower bound of every ray's squared perpendicular distance
     exceeds r^2, or the whole sphere is behind every ray."""
-    bnd = params[10]                          # [N, D+1] center + r2(-1 inf)
     R, D = o.shape
+    bnd = params[12].reshape(-1, D + 1)       # center + r2 (-1 = infinite)
     n_tiles = R // RT
     o_t = o.reshape(n_tiles, RT, D)
     v_t = v.reshape(n_tiles, RT, D)
@@ -621,7 +678,7 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem()] * 12 + [list_spec, cnt_spec, ray_spec, ray_spec,
+        in_specs=[smem()] * 14 + [list_spec, cnt_spec, ray_spec, ray_spec,
                                   aux_spec],
         out_specs=out_specs,
         out_shape=out_shape,

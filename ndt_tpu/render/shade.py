@@ -128,9 +128,13 @@ def apply_lights(scene: SceneData, src, look, tr, active,
             [hit_pt - mathnd.unitize(l.dir)[None, :] * EPSILON
              for _, l, _, _ in directional])
         v_b = jnp.concatenate([d[2] for d in directional])
-        ex_b = jnp.concatenate([mat_id] * len(directional))
-        # self excluded: convex leaves can't re-occlude a lit-side point
-        sh = occlusion_trace(scene, o_b, v_b, exclude_mat=ex_b)
+        # NO self-exclusion: the C blocks on ANY hit with dist > EPSILON
+        # (ndt.c:230-249 + object.c:727), and an orthotope EPSILON-shell
+        # interior hit (0.01 under the surface) legitimately self-shadows --
+        # excluding the source material made those pixels lit where the
+        # reference shows ambient only.  Genuine surface re-hits compute
+        # t <= EPSILON and are rejected by every kernel's t > EPSILON rule.
+        sh = occlusion_trace(scene, o_b, v_b)
         for k, (li, light, rev_light, side_ok) in enumerate(directional):
             s_hit = sh.hit[k * R:(k + 1) * R]
             lit[li] = side_ok & active & (~s_hit)            # ndt.c:230-249

@@ -75,6 +75,17 @@ class QuadricBlock:
     hi: object          # [n, A] upper bound (padded/infinite: +/-BIG)
     qc_off: object      # [n] subtracted from Q.Q: r^2, or EPSILON for slabs
     is_slab: object     # [n] 1.0 where the orthotope fallback path applies
+    # kd leaf-cell gate (see _quadric_gates): a slab's EPSILON-shell hit is
+    # only reachable when the ray pierces a kd leaf cell containing the
+    # item, exactly as the reference's traversal works.  gate_tlo/thi are
+    # the cell boxes clipped by the tree AABB (used in the t-slab test);
+    # gate_plo/phi are the raw split-derived cell bounds (used as position
+    # checks in near-parallel dims, where aabb_intersect skips the dim but
+    # the traversal still picks children by position, kd-tree.c:545-560).
+    gate_tlo: object    # [n, B, D]
+    gate_thi: object    # [n, B, D]
+    gate_plo: object    # [n, B, D]
+    gate_phi: object    # [n, B, D]
     mat_id: object
     b_center: object
     b_radius: object
@@ -183,6 +194,12 @@ class _Leaf:
     kind: str
     obj: Object
     mat_id: int
+    # index of this leaf's kd ITEM (the reference's kd-tree granularity:
+    # top-level objects with clusters flattened, object_kdlist_add
+    # object.c:633-681).  hcube faces share the CUBE's item (faces live
+    # inside its intersect, hcube.c:236-249); -1 = the object is in the
+    # trace-always infinite list, not the tree (kd-tree.c:446-460)
+    kd_item: int = -1
     # scan position among INFINITE leaves, in scene insertion order; finite
     # leaves get NOT_INFINITE.  Replicates the reference's shadow-trace
     # quirk: trace() with dist_limit > 0 breaks at the FIRST object hit
@@ -226,47 +243,89 @@ def _hcube_faces(cube: Object) -> List[Object]:
     return faces
 
 
-def _flatten(objects: List[Object]):
+def _item_aabb(obj: Object, dim):
+    """object_kdlist_add (object.c:646-672): AABB over the object's
+    bounding points inflated by |radius|, with aabb_add_point's +-EPSILON
+    pad (kd-tree.c:63-81).  Empty bounding points => the inverted "empty"
+    box of aabb_init (kd-tree.c:16-21) -- the reference's never-bounded
+    infinite cluster children keep this and sort leftward forever."""
+    pts = obj.bounding_points()
+    if not pts:
+        return np.full(dim, np.inf), np.full(dim, -np.inf)
+    corners = np.stack([np.asarray(c, np.float64) for c, _ in pts])
+    radii = np.asarray([abs(r) for _, r in pts])[:, None]
+    return ((corners - radii).min(0) - EPSILON,
+            (corners + radii).max(0) + EPSILON)
+
+
+def _flatten(objects: List[Object], dim: int):
     """Walk the object forest, registering one material per user-visible
-    object and yielding intersectable leaves."""
+    object and yielding intersectable leaves plus the kd ITEM list (in the
+    reference's object_kdlist_add order) for leaf-cell gating."""
     leaves: List[_Leaf] = []
     materials: List[Object] = []
+    kd_items: List[tuple] = []      # (lo, hi) per item, C scan order
 
     def new_mat(obj) -> int:
         materials.append(obj)
         return len(materials) - 1
 
-    def walk(obj: Object, mat_id: Optional[int]):
+    def new_item(obj) -> int:
+        kd_items.append(_item_aabb(obj, dim))
+        return len(kd_items) - 1
+
+    def walk(obj: Object, mat_id: Optional[int], in_cluster=False):
         t = obj.type_name
         if t == "cluster":
             # culling container; children keep their own materials
             for c in obj.children:
-                walk(c, None)
+                walk(c, None, in_cluster=True)
             return
+        if obj.bounds_radius is None:
+            obj.get_bounds()
+        infinite = obj.bounds_radius is not None and obj.bounds_radius < 0
+        if in_cluster:
+            # kd-parity quirk: the reference flattens clusters into the
+            # kd-tree (object_kdlist_add, object.c:633-646) but computes
+            # bounds only for TOP-LEVEL objects (ndt.c:1897-1907), so an
+            # infinite child (empty bounding_points, e.g. hypercube.c's
+            # flag=2 'edge' hcylinders) is counted as FINITE
+            # (kd-tree.c:423-431 reads the unset radius 0), gets the
+            # inverted empty AABB, always sorts into the leftmost leaf
+            # (kd-tree.c:394-401), and is never reached by camera rays.
+            # It still participates in split scoring, so it must stay in
+            # the item list even though it yields no renderable leaf.
+            item = new_item(obj)
+            if infinite:
+                return
+        else:
+            # top-level infinite objects go to the trace-always inf list
+            # (kd-tree.c:446-460), not the tree
+            item = -1 if infinite else new_item(obj)
         mid = new_mat(obj) if mat_id is None else mat_id
         if t == "hcube":
             for face in _hcube_faces(obj):
-                leaves.append(_Leaf("quadric", face, mid))
+                leaves.append(_Leaf("quadric", face, mid, kd_item=item))
             return
         if t == "hdisk":
-            leaves.append(_Leaf("plane", obj, mid))
+            leaves.append(_Leaf("plane", obj, mid, kd_item=item))
             return
         if t == "sphere":
-            leaves.append(_Leaf("sphere", obj, mid))
+            leaves.append(_Leaf("sphere", obj, mid, kd_item=item))
         elif t == "hplane":
-            leaves.append(_Leaf("plane", obj, mid))
+            leaves.append(_Leaf("plane", obj, mid, kd_item=item))
         elif t in ("cylinder", "hcylinder", "orthotope"):
-            leaves.append(_Leaf("quadric", obj, mid))
+            leaves.append(_Leaf("quadric", obj, mid, kd_item=item))
         elif t == "facet":
-            leaves.append(_Leaf("facet", obj, mid))
+            leaves.append(_Leaf("facet", obj, mid, kd_item=item))
         elif t == "hfacet":
-            leaves.append(_Leaf("hfacet", obj, mid))
+            leaves.append(_Leaf("hfacet", obj, mid, kd_item=item))
         else:
             raise ValueError(f"cannot compile object type {t!r}")
 
     for o in objects:
         walk(o, None)
-    return leaves, materials
+    return leaves, materials, kd_items
 
 
 def _leaf_bounds(leaf: _Leaf, dim):
@@ -339,7 +398,39 @@ def _quadric_params(obj: Object):
     raise ValueError(t)
 
 
-def _build_quadrics(leaves, dim, dt):
+def _quadric_gates(leaves, kd_items, dim):
+    """Leaf-cell gate boxes for slab (orthotope) leaves.
+
+    The reference only calls an object's intersect when kd traversal visits
+    a leaf cell containing the item, so the orthotope's EPSILON-shell hits
+    (qc -= EPSILON, orthotope.c:203, fallback orthotope.c:233-275) are
+    reachable only for rays piercing such a cell.  Without this gate
+    silhouette-grazing rays light up a 0.01-thick halo around every slab
+    that the C never shows; with only a per-item AABB gate, shell hits the
+    C DOES show (via larger cells) go missing.  So we rebuild the C's kd
+    tree exactly (utils/kdtree.build_c_exact) and gate on the union of the
+    item's leaf cells, clipped by the tree's root AABB for the t-test
+    (kd_tree_intersect enters through aabb_intersect(&tree->bb),
+    kd-tree.c:598).  Position bounds stay unclipped: in near-parallel dims
+    aabb_intersect SKIPS the dim (kd-tree.c:97-99) but traversal still
+    picks children by position (kd-tree.c:556-566)."""
+    from ndt_tpu.utils.kdtree import build_c_exact
+
+    slab_items = sorted({l.kd_item for l in leaves
+                         if l.kind == "quadric" and l.kd_item >= 0
+                         and _quadric_params(l.obj)[5]})
+    if not slab_items or not kd_items:
+        return None
+    lowers = np.stack([lo for lo, _ in kd_items])
+    uppers = np.stack([hi for _, hi in kd_items])
+    cells = build_c_exact(lowers, uppers)
+    finite = ~np.isinf(lowers).any(1)
+    bb_lo = lowers[finite].min(0) if finite.any() else np.full(dim, -BIG)
+    bb_hi = uppers[finite].max(0) if finite.any() else np.full(dim, BIG)
+    return cells, bb_lo, bb_hi
+
+
+def _build_quadrics(leaves, dim, dt, gates=None):
     n = len(leaves)
     params = [_quadric_params(l.obj) for l in leaves]
     a_max = max(len(p[1]) for p in params)
@@ -350,6 +441,8 @@ def _build_quadrics(leaves, dim, dt):
     hi = np.full((n, a_max), BIG)
     qc_off = np.zeros(n)
     is_slab = np.zeros(n)
+    boxes = [None] * n
+    b_max = 1
     for k, (b, ax, l, h, q, slab) in enumerate(params):
         base[k] = b
         a = len(ax)
@@ -359,10 +452,37 @@ def _build_quadrics(leaves, dim, dt):
         hi[k, :a] = h
         qc_off[k] = q
         is_slab[k] = 1.0 if slab else 0.0
+        if slab and gates is not None and leaves[k].kd_item >= 0:
+            cells, _, _ = gates
+            boxes[k] = cells[leaves[k].kd_item]
+            b_max = max(b_max, len(boxes[k]))
+    if not is_slab.any():
+        b_max = 0           # statically skips the gate in both kernels
+    gate_tlo = np.full((n, b_max, dim), -BIG)
+    gate_thi = np.full((n, b_max, dim), BIG)
+    gate_plo = np.full((n, b_max, dim), -BIG)
+    gate_phi = np.full((n, b_max, dim), BIG)
+    if gates is not None:
+        _, bb_lo, bb_hi = gates
+        for k, bx in enumerate(boxes):
+            if bx is None:
+                continue
+            cl = np.stack([c[:, 0] for c in bx])          # [B_k, D]
+            ch = np.stack([c[:, 1] for c in bx])
+            nb = len(bx)
+            gate_plo[k, :nb] = np.clip(cl, -BIG, BIG)
+            gate_phi[k, :nb] = np.clip(ch, -BIG, BIG)
+            gate_tlo[k, :nb] = np.clip(np.maximum(cl, bb_lo), -BIG, BIG)
+            gate_thi[k, :nb] = np.clip(np.minimum(ch, bb_hi), -BIG, BIG)
+            # padding rows must NOT pierce: empty-inverted t boxes
+            gate_tlo[k, nb:] = BIG
+            gate_thi[k, nb:] = -BIG
     return QuadricBlock(
         base=base.astype(dt), axes=axes.astype(dt), gram=gram.astype(dt),
         lo=lo.astype(dt), hi=hi.astype(dt), qc_off=qc_off.astype(dt),
         is_slab=is_slab.astype(dt),
+        gate_tlo=gate_tlo.astype(dt), gate_thi=gate_thi.astype(dt),
+        gate_plo=gate_plo.astype(dt), gate_phi=gate_phi.astype(dt),
         mat_id=np.array([l.mat_id for l in leaves], np.int32),
         **_bounds_arrays(leaves, dim, dt))
 
@@ -460,7 +580,7 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
     """Compile a host Scene into the SoA device pytree."""
     dt = np.dtype(dtype).type
     scene.validate()
-    leaves, materials = _flatten(scene.objects)
+    leaves, materials, kd_items = _flatten(scene.objects, scene.dim)
     if not leaves:
         raise ValueError("scene has no intersectable objects")
 
@@ -475,7 +595,12 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
     kwargs = {}
     for kind, (field, builder) in _BUILDERS.items():
         ls = [l for l in leaves if l.kind == kind]
-        if ls:
+        if not ls:
+            continue
+        if kind == "quadric":
+            gates = _quadric_gates(ls, kd_items, scene.dim)
+            kwargs[field] = builder(ls, scene.dim, dt, gates)
+        else:
             kwargs[field] = builder(ls, scene.dim, dt)
 
     color = np.stack([m.color for m in materials])

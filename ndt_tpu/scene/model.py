@@ -370,12 +370,12 @@ class Scene:
         if not finite:
             return self
         root = build_cluster_tree(self.dim, finite, k)
-        new_objs = [root]
-        if infinite:
-            inf_cluster = Object(self.dim, "cluster", "infinite")
-            inf_cluster.add_flag(k)
-            for o in infinite:
-                inf_cluster.add_obj(o)
-            new_objs.append(inf_cluster)
-        self.objects = new_objs
+        # The C wraps infinite objects in an unbounded cluster
+        # (scene.c:311-330), but scene_cluster only runs WITHOUT_KDTREE
+        # (ndt.c:1897-1911); our compiler implements the kd-path semantics,
+        # where an infinite object nested in a cluster is unreachable (see
+        # compile._flatten's kd-parity quirk note).  Keeping them top-level
+        # preserves the C's rendered result: they land in the trace-always
+        # infinite list either way.
+        self.objects = [root] + infinite
         return self

@@ -53,7 +53,11 @@ def _add_faces(cluster: Object, n: int):
                     obj = Object(n, "hcylinder", f"{m}d edge")
                     obj.add_size(EDGE_SIZE + (n - m) * (EDGE_SIZE * 0.05
                                                         + EPSILON))
-                    obj.add_flag(0)  # finite
+                    # the C passes flag[0]=m (hypercube.c:96), which
+                    # hcylinder.c treats as INFINITE (empty bounding_points,
+                    # no end test) -- so these 'edges' never render under
+                    # the kd path (see compile.py's in_cluster quirk note)
+                    obj.add_flag(m)
                     obj.add_pos(pos)
                     for i in dirs:
                         p2 = pos.copy()

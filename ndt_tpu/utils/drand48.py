@@ -15,11 +15,18 @@ _M = 1 << 48
 
 
 class Drand48:
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed=0):
         self.srand48(seed)
 
-    def srand48(self, seed: int):
-        self._x = ((seed & 0xFFFFFFFF) << 16) | 0x330E
+    def srand48(self, seed):
+        if seed is None:
+            # never-seeded stream: glibc leaves X in its zero BSS state
+            # (only a and c get set on first use), and scenes/random.c
+            # relies on this -- it has no srand48 call.  Note this differs
+            # from the POSIX-documented X0=0x1234ABCD330E.
+            self._x = 0
+        else:
+            self._x = ((seed & 0xFFFFFFFF) << 16) | 0x330E
 
     def drand48(self) -> float:
         self._x = (_A * self._x + _C) % _M

@@ -178,3 +178,67 @@ def flatten(node: KdNode):
     return (np.array(dims, np.int32), np.array(bounds, np.float64),
             np.array(children, np.int32), np.array(offsets, np.int32),
             np.array(ids, np.int32))
+
+
+# --------------------------------------------------------------------------
+# C-exact build: replicates kd_tree_split_node (kd-tree.c:315-419) literally
+# -- straddlers duplicated into BOTH children, unlimited recursion
+# (ndt.c builds with levels_remaining = min_per_node = -1), candidate order
+# (dim-major, item order, lower then upper), strict score improvement -- so
+# the leaf CELL geometry matches the reference binary.  Used by the scene
+# compiler to gate orthotope EPSILON-shell hits exactly like the C's
+# traversal does (an object is only tested by rays that visit a leaf cell
+# containing it).
+
+
+def build_c_exact(lowers: np.ndarray, uppers: np.ndarray):
+    """lowers/uppers: [n, D] item AABBs (inverted rows = the reference's
+    never-bounded infinite cluster children, kd-tree.c:16-21).  Returns
+    cells: list over items of [k, D, 2] leaf-cell clip boxes (+-inf where
+    unbounded)."""
+    n, dim = lowers.shape
+    cells = [[] for _ in range(n)]
+    if n == 0:
+        return cells
+
+    def split(idx, cell_lo, cell_hi):
+        lo = lowers[idx]
+        hi = uppers[idx]
+        best_score = -np.inf
+        found = None
+        for d in range(dim):
+            cands = np.concatenate([lo[:, d] - 2 * EPSILON,
+                                    hi[:, d] + 2 * EPSILON])
+            # evaluate in the C's scan order: item-major, lower before upper
+            order = np.empty(2 * len(idx), np.intp)
+            order[0::2] = np.arange(len(idx))
+            order[1::2] = np.arange(len(idx)) + len(idx)
+            for ci in order:
+                pos = cands[ci]
+                left = int((hi[:, d] < pos - EPSILON).sum())
+                right = int((lo[:, d] > pos + EPSILON).sum())
+                if left == 0 or right == 0:
+                    continue
+                straddle = len(idx) - left - right
+                score = len(idx) - (abs(left - right) + 2 * straddle)
+                if score > best_score:
+                    best_score = score
+                    found = (d, pos)
+        if found is None:
+            box = np.stack([cell_lo, cell_hi], axis=-1)
+            for i in idx:
+                cells[i].append(box)
+            return
+        d, pos = found
+        left_m = lo[:, d] <= pos + EPSILON     # iu < pos-e OR straddle
+        right_m = hi[:, d] >= pos - EPSILON    # il > pos+e OR straddle
+        l_hi = cell_hi.copy()
+        l_hi[d] = min(l_hi[d], pos + EPSILON)
+        r_lo = cell_lo.copy()
+        r_lo[d] = max(r_lo[d], pos - EPSILON)
+        split(idx[left_m], cell_lo, l_hi)
+        split(idx[right_m], r_lo, cell_hi)
+
+    split(np.arange(n),
+          np.full(dim, -np.inf), np.full(dim, np.inf))
+    return cells

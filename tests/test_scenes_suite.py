@@ -20,9 +20,13 @@ from ndt_tpu.scenes import get_scene, scene_names
 def test_scene_builds_and_renders(name, dim):
     mod = get_scene(name)
     scn = Scene(name, dim)
-    frames = mod.scene_frames(dim, None) if hasattr(mod, "scene_frames") \
+    # random with the default 40 objects expands hcubes to 500+ leaves and
+    # dominates suite wall-clock; 6 objects still exercises every code path
+    # (bit-exact parity at 20 objects lives in test_goldens_extended)
+    config = "6" if name == "random" else None
+    frames = mod.scene_frames(dim, config) if hasattr(mod, "scene_frames") \
         else 300
-    mod.scene_setup(scn, dim, 0, max(frames, 1), None)
+    mod.scene_setup(scn, dim, 0, max(frames, 1), config)
     if hasattr(mod, "scene_cleanup"):
         mod.scene_cleanup()
     sd = compile_scene(scn, np.float32)
