@@ -54,7 +54,9 @@ from ndt_tpu.constants import BIG, EPSILON
 
 import os as _os
 LANE = 128
-RT = int(_os.environ.get("NDT_PALLAS_RT", 2048))  # rays per grid program
+RT = int(_os.environ.get("NDT_PALLAS_RT", 4096))  # rays per grid program
+# 4096 benches ~10% faster than 2048 on v5e (better VPU occupancy per
+# grid step while the tile cull stays effective); 8192+ loses coherence
 _UNROLL = int(_os.environ.get("NDT_PALLAS_UNROLL", 1))
 D_PAD = 8
 N_PROPS = 8        # color3, reflect3, transparent, refract_index
