@@ -49,8 +49,14 @@ def render_grid_sharded(scene_data, cam_data, x, y, key, opts, mesh: Mesh,
     tensor on the ray axis with zero communication; the only collective is
     the implicit gather when the caller pulls the framebuffer to host.
     """
+    import dataclasses
+
     from ndt_tpu.render.engine import render_tile_fused as render_tile
 
+    # bounce-survivor compaction is a global scatter: under GSPMD it would
+    # lower to cross-chip collectives mid-trace, so the sharded path keeps
+    # the loop full-width (rays stay chip-local, zero communication)
+    opts = dataclasses.replace(opts, compact=0)
     scene_r = replicate(mesh, scene_data)
     cam_r = replicate(mesh, cam_data)
     x_s, y_s = shard_rays(mesh, jnp.asarray(x), jnp.asarray(y))

@@ -68,6 +68,12 @@ class RenderOptions:
     tile: int = 1 << 16              # rays per device dispatch
     stack_size: int = 16             # pending refraction branches per ray
     chunk_iters: int = 16            # bounce iterations per device dispatch
+    compact: int = 4                 # bounce-survivor compaction divisor:
+                                     # after the primary bounce, 256-lane
+                                     # blocks containing live rays are
+                                     # gathered into an R/compact buffer
+                                     # (overflowing blocks finish in a
+                                     # full-width loop); 0/1 disables
     seed: int = 0
     devices: Optional[object] = None  # jax mesh for tile sharding
 
@@ -154,7 +160,10 @@ def _chain_loop(scene, R, dt, opts):
 
     def body(carry):
         (it, active, o, v, w, frac, color, depth, nrays, key) = carry
-        tr = trace(scene, o, v, need_normal=True)
+        # dead lanes re-trace their stale (spatially coherent) ray; the
+        # megakernel skips fully-dead tiles via the live mask and bounds
+        # live tiles' culls over surviving lanes only
+        tr = trace(scene, o, v, need_normal=True, live=active)
         hit = tr.hit & active
         nrays = (nrays + active.sum()
                  + hit.sum() * n_shadow_lights).astype(nrays.dtype)
@@ -189,11 +198,65 @@ def _chain_loop(scene, R, dt, opts):
 def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     """Reflection-only scenes: each ray is a single chain, so the bounce
     loop carries the continuation ray directly -- no per-ray stack, no
-    gather/scatter traffic."""
+    gather/scatter traffic.
+
+    When the batch is large, the loop runs the primary bounce at full width
+    and then gathers the 256-lane BLOCKS that still contain live rays into
+    an R/opts.compact buffer (typically <10% of primary rays reflect onward,
+    and a full-width iteration costs the same whether 5% or 100% of lanes
+    are alive).  Block granularity keeps every data movement contiguous --
+    a big per-lane scatter lowers to an XLA sort that costs more than it
+    saves -- and the stable block order preserves screen-blocked coherence
+    for the megakernel's per-tile cull.  Live blocks beyond the compact
+    capacity finish in a full-width overflow loop (normally zero-trip) --
+    no ray is ever dropped."""
+    R = o.shape[0]
+    cond, body = _chain_loop(scene, R, o.dtype, opts)
     carry = _chain_init(scene, o, v, key, opts)
-    cond, body = _chain_loop(scene, o.shape[0], o.dtype, opts)
-    carry = jax.lax.while_loop(cond, body, carry)
-    return carry[6], carry[7], carry[8]
+
+    from ndt_tpu.render.pallas_trace import RT
+
+    BLK = 256
+    if opts.compact <= 1 or R % (RT * opts.compact) != 0:
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[6], carry[7], carry[8]
+
+    carry = body(carry)                       # primary bounce, full width
+    (it, active, o1, v1, w1, frac1, color, depth, nrays, key1) = carry
+
+    nb = R // BLK
+    cap = nb // opts.compact                  # blocks in the compact buffer
+    R2 = cap * BLK
+    blk_live = active.reshape(nb, BLK).any(1)
+    # stable partition of block ids: live blocks first, original order
+    _, order = jax.lax.sort_key_val(
+        (~blk_live).astype(jnp.int32), jnp.arange(nb, dtype=jnp.int32),
+        is_stable=True)
+    src_blk = order[:cap]
+    rank = jnp.zeros((nb,), jnp.int32).at[order].set(
+        jnp.arange(nb, dtype=jnp.int32), unique_indices=True)
+    taken = rank < cap                        # [nb]
+
+    def bgather(a):
+        return a.reshape((nb, BLK) + a.shape[1:])[src_blk].reshape(
+            (R2,) + a.shape[1:])
+
+    cond2, body2 = _chain_loop(scene, R2, o.dtype, opts)
+    carry2 = (it, bgather(active), bgather(o1), bgather(v1), bgather(w1),
+              bgather(frac1), jnp.zeros((R2, 3), o.dtype),
+              jnp.zeros((R2,), o.dtype), jnp.zeros((), nrays.dtype),
+              jax.random.fold_in(key1, 1))
+    carry2 = jax.lax.while_loop(cond2, body2, carry2)
+    color = color.reshape(nb, BLK, 3).at[src_blk].add(
+        carry2[6].reshape(cap, BLK, 3), unique_indices=True).reshape(R, 3)
+    nrays = nrays + carry2[8]
+
+    # capacity overflow (live blocks ranked beyond cap; normally none)
+    over = active & ~jnp.repeat(taken, BLK)
+    carry_o = (it, over, o1, v1, w1, frac1, color, depth, nrays,
+               jax.random.fold_in(key1, 2))
+    carry_o = jax.lax.while_loop(cond, body, carry_o)
+    return carry_o[6], carry_o[7], carry_o[8]
 
 
 def _stack_init(scene, o, v, key, opts):
@@ -243,7 +306,7 @@ def _stack_loop(scene, R, dt, opts):
         co, cv = pop(st_o, j), pop(st_v, j)
         cw, cf, cd = pop(st_w, j), pop(st_f, j), pop(st_d, j)
 
-        tr = trace(scene, co, cv, need_normal=True)
+        tr = trace(scene, co, cv, need_normal=True, live=valid)
         hit = tr.hit & valid
         # rays-traced accounting (the Mrays/s benchmark metric): one trace
         # per live path node + one shadow trace per non-ambient light per hit

@@ -373,19 +373,28 @@ def _make_kernel(meta: PallasMeta, mode: str):
                     n_ref[d] = state["n1"][d]
                 for d in range(D, D_PAD):
                     n_ref[d] = jnp.zeros(shape, jnp.float32)
-                # winner material properties from SMEM (no host gathers)
-                props = [jnp.zeros(shape, jnp.float32)
-                         for _ in range(N_PROPS)]
-                n_mats = prop_ref.shape[0] // N_PROPS if _USE_PROPS else 0
+                # winner material properties from SMEM (no host gathers),
+                # resolved over the tile's SURVIVING candidates only --
+                # the winner is always on the cull list, so dead/culled
+                # materials never need a pass
+                pstate = {"p": tuple(jnp.zeros(shape, jnp.float32)
+                                     for _ in range(N_PROPS))}
 
-                def prop_body(k, props):
-                    sel = state["m1"] == k
-                    return [jnp.where(sel, prop_ref[k * N_PROPS + j], pj)
-                            for j, pj in enumerate(props)]
+                def vprop(count, gid0, ev, row):
+                    def body(k, props):
+                        mat = mat_ref[gid0 + row(k)]
+                        sel = state["m1"] == mat
+                        return tuple(
+                            jnp.where(sel, prop_ref[mat * N_PROPS + j], pj)
+                            for j, pj in enumerate(props))
 
-                props = jax.lax.fori_loop(0, n_mats, prop_body, props)
+                    pstate["p"] = jax.lax.fori_loop(0, count, body,
+                                                    pstate["p"])
+
+                if _USE_PROPS:
+                    families(vprop)
                 for j in range(N_PROPS):
-                    p_ref[j] = props[j]
+                    p_ref[j] = pstate["p"][j]
         else:
             limit = aux_ref[0]
             # pass 1: first (lowest) rank among infinite objects hit within
@@ -539,7 +548,7 @@ def pack_params(scene):
                   prop_tab.ravel())
 
 
-def cull_lists(params, o, v, meta):
+def cull_lists(params, o, v, meta, live=None):
     """Vectorized per-tile object culling in XLA: interval arithmetic over
     each RT-ray tile's origin/direction bounds vs every object's bounding
     sphere, then per-family compaction into (lists [n_tiles, N],
@@ -554,8 +563,19 @@ def cull_lists(params, o, v, meta):
     n_tiles = R // RT
     o_t = o.reshape(n_tiles, RT, D)
     v_t = v.reshape(n_tiles, RT, D)
-    o_lo, o_hi = o_t.min(1), o_t.max(1)       # [n_tiles, D]
-    v_lo, v_hi = v_t.min(1), v_t.max(1)
+    if live is None:
+        o_lo, o_hi = o_t.min(1), o_t.max(1)   # [n_tiles, D]
+        v_lo, v_hi = v_t.min(1), v_t.max(1)
+    else:
+        # bounce loops re-trace a tile with only SOME lanes still alive
+        # (dead lanes carry stale rays whose results are discarded): bound
+        # the intervals over live lanes only, so the cull stays tight for
+        # the survivors, and drop fully-dead tiles outright below
+        lv = live.reshape(n_tiles, RT, 1)
+        o_lo = jnp.where(lv, o_t, BIG).min(1)
+        o_hi = jnp.where(lv, o_t, -BIG).max(1)
+        v_lo = jnp.where(lv, v_t, BIG).min(1)
+        v_hi = jnp.where(lv, v_t, -BIG).max(1)
     c = bnd[:, :D]                             # [N, D]
     r2 = bnd[:, D]                             # [N]
 
@@ -586,6 +606,9 @@ def cull_lists(params, o, v, meta):
     r = jnp.sqrt(jnp.maximum(r2, 0.0))[None, :]
     may_hit = (perp2_lo <= r2[None, :]) & ((-voc_lo + r) >= EPSILON)
     may_hit = may_hit | (r2[None, :] < 0.0)   # infinite leaves never cull
+    if live is not None:
+        # fully-dead tiles run zero kernel iterations (even infinite leaves)
+        may_hit &= live.reshape(n_tiles, RT).any(1)[:, None]
 
     # per-family stable compaction: surviving gids first.  Sort-free --
     # cumsum ranks + a one-hot scatter (sorts are slow on TPU; this is a
@@ -625,11 +648,13 @@ def _to_tiles(a, R):
 @functools.partial(jax.jit,
                    static_argnames=("meta", "mode", "interpret"))
 def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
-                 interpret: bool = False):
+                 interpret: bool = False, live=None):
     """Winner over the sphere/plane/quadric blocks.
 
     o, v: [R, D] f32, R a multiple of RT.  aux: per-ray int32 excluded
     MATERIAL id ('closest'/'any') or f32 distance limit ('shadow').
+    live: optional [R] bool -- lanes whose result the caller will discard
+    are False; dead lanes return garbage but fully-dead tiles are skipped.
     Returns (t [R], mat [R] i32, normal [R, D] | None, props [R, 8] | None).
     """
     R, D = o.shape
@@ -670,7 +695,7 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
     out_specs, out_shape = shapes[mode]
 
     n_total = max(meta.n_sph + meta.n_pln + meta.n_quad, 1)
-    lists, counts = cull_lists(params, o, v, meta)
+    lists, counts = cull_lists(params, o, v, meta, live)
     lists = lists[:, None, :]
     counts = counts[:, None, :]
     list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),

@@ -114,7 +114,11 @@ def apply_lights(scene: SceneData, src, look, tr, active,
         v_b = jnp.concatenate([p[3] for p in pointish])
         lim_b = jnp.concatenate(
             [jnp.sqrt(p[4]) + EPSILON for p in pointish])
-        sh = shadow_trace(scene, o_b, v_b, lim_b)            # ndt.c:209-228
+        # lanes whose result is discarded (no hit / wrong side / outside
+        # the spot cone) are dead: the trace kernel skips fully-dead tiles
+        live_b = jnp.concatenate([p[5] for p in pointish])
+        sh = shadow_trace(scene, o_b, v_b, lim_b,
+                          live=live_b)                       # ndt.c:209-228
         for k, (li, light, lgt_pos, light_vec, ldist2, mask) in \
                 enumerate(pointish):
             s_mat = sh.mat_id[k * R:(k + 1) * R]
@@ -128,13 +132,14 @@ def apply_lights(scene: SceneData, src, look, tr, active,
             [hit_pt - mathnd.unitize(l.dir)[None, :] * EPSILON
              for _, l, _, _ in directional])
         v_b = jnp.concatenate([d[2] for d in directional])
+        live_b = jnp.concatenate([d[3] & active for d in directional])
         # NO self-exclusion: the C blocks on ANY hit with dist > EPSILON
         # (ndt.c:230-249 + object.c:727), and an orthotope EPSILON-shell
         # interior hit (0.01 under the surface) legitimately self-shadows --
         # excluding the source material made those pixels lit where the
         # reference shows ambient only.  Genuine surface re-hits compute
         # t <= EPSILON and are rejected by every kernel's t > EPSILON rule.
-        sh = occlusion_trace(scene, o_b, v_b)
+        sh = occlusion_trace(scene, o_b, v_b, live=live_b)
         for k, (li, light, rev_light, side_ok) in enumerate(directional):
             s_hit = sh.hit[k * R:(k + 1) * R]
             lit[li] = side_ok & active & (~s_hit)            # ndt.c:230-249

@@ -116,7 +116,7 @@ def _merge_extras(scene, o, v, t, mat, nrm, props):
 
 
 def _pallas_closest(scene, o, v, mode, exclude_mat=None,
-                    need_normal=True):
+                    need_normal=True, live=None):
     """Closest hit via the megakernel (in-kernel local re-solve, normals,
     and material resolution)."""
     from ndt_tpu.render.pallas_trace import RT, pallas_trace
@@ -129,10 +129,12 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
         if o_p.shape[0] != R:
             aux = jnp.concatenate(
                 [aux, jnp.full((o_p.shape[0] - R,), -1, jnp.int32)])
+    live_p = _pad_live(live, o_p.shape[0], R)
     kmode = "closest" if need_normal else "any"
     t, mat, nrm, props = pallas_trace(scene.ptables, o_p, v_p, aux,
                                       scene.pmeta, kmode,
-                                      interpret=(mode == "interpret"))
+                                      interpret=(mode == "interpret"),
+                                      live=live_p)
     t, mat = t[:R], mat[:R]
     nrm = nrm[:R] if nrm is not None else None
     if props is not None:
@@ -145,7 +147,15 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
     return t, hit, mat, nrm, props
 
 
-def _pallas_shadow(scene, o, v, limit, mode):
+def _pad_live(live, R_pad, R):
+    if live is None:
+        return None
+    if R_pad != R:
+        live = jnp.concatenate([live, jnp.zeros((R_pad - R,), bool)])
+    return live
+
+
+def _pallas_shadow(scene, o, v, limit, mode, live=None):
     from ndt_tpu.render.pallas_trace import RT, pallas_trace
 
     o_p, v_p, R = _pad_rays(o, v, RT)
@@ -154,7 +164,8 @@ def _pallas_shadow(scene, o, v, limit, mode):
         aux = jnp.concatenate(
             [aux, jnp.zeros((o_p.shape[0] - R,), jnp.float32)])
     t, mat, _, _ = pallas_trace(scene.ptables, o_p, v_p, aux, scene.pmeta,
-                                "shadow", interpret=(mode == "interpret"))
+                                "shadow", interpret=(mode == "interpret"),
+                                live=_pad_live(live, o_p.shape[0], R))
     t, mat = t[:R], mat[:R]
     # facet/hfacet leaves are always finite: plain closest-min merge
     t, mat, _, _ = _merge_extras(scene, o, v, t, mat, None, None)
@@ -232,15 +243,19 @@ def _closest_with_refine(blocks, t_all, mat_all, o, v, rounds: int = 2):
     return idx, t_min, hit, mat_id
 
 
-def trace(scene: SceneData, o, v, need_normal: bool = True) -> TraceResult:
+def trace(scene: SceneData, o, v, need_normal: bool = True,
+          live=None) -> TraceResult:
     """Closest hit of rays (o, v) against the whole scene.
 
     o, v: [R, D].  v need not be exactly unit (the engine unitizes, matching
-    the C which traces unitized look/shadow/bounce vectors)."""
+    the C which traces unitized look/shadow/bounce vectors).  ``live``
+    ([R] bool) marks lanes whose result the caller will use: bounce loops
+    re-trace stale rays on dead lanes, and the megakernel skips fully-dead
+    tiles (results on dead lanes are garbage -- callers mask)."""
     mode = _pallas_mode(scene, o)
     if mode is not None:
         t_min, hit, mat_id, nrm, props = _pallas_closest(
-            scene, o, v, mode, need_normal=need_normal)
+            scene, o, v, mode, need_normal=need_normal, live=live)
         point = o + v * t_min[:, None]
         if props is None:
             props = _gather_props(scene, mat_id, hit)
@@ -281,7 +296,8 @@ def trace(scene: SceneData, o, v, need_normal: bool = True) -> TraceResult:
                        normal=normal, **_gather_props(scene, mat_id, hit))
 
 
-def occlusion_trace(scene: SceneData, o, v, exclude_mat=None) -> TraceResult:
+def occlusion_trace(scene: SceneData, o, v, exclude_mat=None,
+                    live=None) -> TraceResult:
     """Any-hit variant (directional-light shadows, dist_limit == 0
     semantics): no normal reconstruction.
 
@@ -296,7 +312,8 @@ def occlusion_trace(scene: SceneData, o, v, exclude_mat=None) -> TraceResult:
     mode = _pallas_mode(scene, o)
     if mode is not None:
         t_min, hit, mat_id, _, _ = _pallas_closest(
-            scene, o, v, mode, exclude_mat=exclude_mat, need_normal=False)
+            scene, o, v, mode, exclude_mat=exclude_mat, need_normal=False,
+            live=live)
         point = o + v * t_min[:, None]
         return TraceResult(t=t_min, hit=hit, mat_id=mat_id, point=point,
                            normal=None)
@@ -323,7 +340,7 @@ def occlusion_trace(scene: SceneData, o, v, exclude_mat=None) -> TraceResult:
                        normal=None)
 
 
-def shadow_trace(scene: SceneData, o, v, limit) -> TraceResult:
+def shadow_trace(scene: SceneData, o, v, limit, live=None) -> TraceResult:
     """Point/spot-light shadow trace with the reference's dist_limit > 0
     scan-order semantics (object.c:736-738 + kd-tree.c:592-594):
 
@@ -338,7 +355,7 @@ def shadow_trace(scene: SceneData, o, v, limit) -> TraceResult:
     """
     mode = _pallas_mode(scene, o)
     if mode is not None:
-        return _pallas_shadow(scene, o, v, limit, mode)
+        return _pallas_shadow(scene, o, v, limit, mode, live=live)
     pre = intersect.ray_precompute(o, v)
 
     ts, mats, ranks, blocks = [], [], [], []

@@ -168,3 +168,52 @@ def test_pixel_byte_roundtrip():
     img = np.random.RandomState(0).rand(4, 4, 3)
     again = bytes_to_linear(linear_to_bytes(img))
     assert np.abs(again - img).max() < 0.01
+
+
+def test_chain_compaction_matches_full_width():
+    """The block-gather bounce compaction (engine._render_rays_chain) must
+    reproduce the full-width loop exactly: same rays traced, same colors
+    (modulo one float add reordering), same depth."""
+    from ndt_tpu.render.engine import gen_rays, render_rays
+    from ndt_tpu.render.pallas_trace import RT
+
+    scn = Scene("compact", 4)
+    scn.ambient[:] = 0.2
+    lgt = scn.add_light()
+    lgt.pos = np.array([0.0, 50.0, 0.0, 0.0])
+    lgt.set_color(200, 200, 200)
+    floor = scn.add_object("hplane").set_color(.6, .6, .6).set_reflect(.4, .4, .4)
+    floor.add_pos(np.array([0.0, -5.0, 0.0, 0.0]))
+    floor.add_dir(np.array([0.0, 1.0, 0.0, 0.0]))
+    for i in range(3):
+        s = scn.add_object("sphere").set_color(.7, .2, .2).set_reflect(.5, .5, .5)
+        s.add_pos(np.array([i * 6.0 - 6.0, 2.0, -20.0 - 4.0 * i, 0.0]))
+        s.add_size(3.0)
+    scn.cam.set_aim(np.array([0.0, 5.0, 20.0, 0.0]), np.zeros(4),
+                    np.array([0.0, 10.0, 0.0, 0.0]), 0.0)
+    scn.cam.aim()
+
+    dt = np.float32
+    sd = compile_scene(scn, dt)
+    cd = scn.cam.data(dt)
+    R = RT * 4                     # smallest batch that triggers compaction
+    w = h = int(np.sqrt(R))
+    assert w * h == R
+    xx, yy = _pixel_grid(w, h, np.dtype(dt))
+    x, y = jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel())
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for compact in (0, 4):
+        opts = RenderOptions(width=w, height=h, samples=1, tile=R,
+                             compact=compact, max_optic_depth=8)
+        o, v = gen_rays(cd, x, y, key, opts, "center", False, False)
+        c, d, n = jax.jit(render_rays, static_argnames="opts")(
+            sd, o, v, key, opts)
+        outs[compact] = (np.asarray(c), np.asarray(d), int(n))
+    c0, d0, n0 = outs[0]
+    c4, d4, n4 = outs[4]
+    assert n0 == n4
+    assert n0 > R  # reflections actually happened
+    np.testing.assert_array_equal(d0, d4)
+    np.testing.assert_allclose(c0, c4, atol=1e-6)
