@@ -216,19 +216,53 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
 
     from ndt_tpu.render.pallas_trace import RT
 
-    BLK = 256
-    if opts.compact <= 1 or R % (RT * opts.compact) != 0:
+    if opts.compact <= 1 or R % (RT * opts.compact * opts.compact) != 0:
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[6], carry[7], carry[8]
 
     carry = body(carry)                       # primary bounce, full width
-    (it, active, o1, v1, w1, frac1, color, depth, nrays, key1) = carry
 
-    nb = R // BLK
-    cap = nb // opts.compact                  # blocks in the compact buffer
-    R2 = cap * BLK
-    blk_live = active.reshape(nb, BLK).any(1)
+    # level 1: compact by opts.compact, run ONE iteration; level 2: compact
+    # the survivors again (activity collapses geometrically: measured 5% ->
+    # 0.4% live lanes on the flagship scene), then loop to completion.
+    # Each level leaves a (usually zero-trip) overflow loop at its parent
+    # width for live blocks beyond capacity.
+    carry2, merge1, over1 = _block_compact(scene, carry, opts.compact)
+    R2 = carry2[2].shape[0]
+    cond2, body2 = _chain_loop(scene, R2, o.dtype, opts)
+    carry2 = jax.lax.cond(cond2(carry2), body2, lambda c: c, carry2)
+
+    carry3, merge2, over2 = _block_compact(scene, carry2, opts.compact)
+    R3 = carry3[2].shape[0]
+    cond3, body3 = _chain_loop(scene, R3, o.dtype, opts)
+    carry3 = jax.lax.while_loop(cond3, body3, carry3)
+    carry2 = merge2(carry2, carry3)
+
+    # level-2 overflow: finish at level-1 width
+    carry2 = jax.lax.while_loop(cond2, body2,
+                                carry2[:1] + (over2,) + carry2[2:])
+    carry = merge1(carry, carry2)
+
+    # level-1 overflow: finish at full width
+    carry = jax.lax.while_loop(cond, body, carry[:1] + (over1,) + carry[2:])
+    return carry[6], carry[7], carry[8]
+
+
+def _block_compact(scene, carry, divisor, blk=256):
+    """Gather the 256-lane blocks that still contain live rays into a
+    width/divisor buffer.  Returns (compact_carry, merge, overflow_mask):
+    ``merge(parent_carry, compact_carry)`` scatter-adds the compact loop's
+    colors back (block indices are unique, so no sort-based scatter) and
+    accumulates its ray count; ``overflow_mask`` marks live lanes in blocks
+    beyond capacity, to be finished at the parent width."""
+    (it, active, o1, v1, w1, frac1, color, depth, nrays, key1) = carry
+    R = o1.shape[0]
+    nb = R // blk
+    cap = nb // divisor
+    R2 = cap * blk
+    blk_live = active.reshape(nb, blk).any(1)
     # stable partition of block ids: live blocks first, original order
+    # (preserves screen-blocked coherence for the megakernel tile cull)
     _, order = jax.lax.sort_key_val(
         (~blk_live).astype(jnp.int32), jnp.arange(nb, dtype=jnp.int32),
         is_stable=True)
@@ -238,25 +272,23 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     taken = rank < cap                        # [nb]
 
     def bgather(a):
-        return a.reshape((nb, BLK) + a.shape[1:])[src_blk].reshape(
+        return a.reshape((nb, blk) + a.shape[1:])[src_blk].reshape(
             (R2,) + a.shape[1:])
 
-    cond2, body2 = _chain_loop(scene, R2, o.dtype, opts)
     carry2 = (it, bgather(active), bgather(o1), bgather(v1), bgather(w1),
-              bgather(frac1), jnp.zeros((R2, 3), o.dtype),
-              jnp.zeros((R2,), o.dtype), jnp.zeros((), nrays.dtype),
+              bgather(frac1), jnp.zeros((R2, 3), o1.dtype),
+              jnp.zeros((R2,), o1.dtype), jnp.zeros((), nrays.dtype),
               jax.random.fold_in(key1, 1))
-    carry2 = jax.lax.while_loop(cond2, body2, carry2)
-    color = color.reshape(nb, BLK, 3).at[src_blk].add(
-        carry2[6].reshape(cap, BLK, 3), unique_indices=True).reshape(R, 3)
-    nrays = nrays + carry2[8]
 
-    # capacity overflow (live blocks ranked beyond cap; normally none)
-    over = active & ~jnp.repeat(taken, BLK)
-    carry_o = (it, over, o1, v1, w1, frac1, color, depth, nrays,
-               jax.random.fold_in(key1, 2))
-    carry_o = jax.lax.while_loop(cond, body, carry_o)
-    return carry_o[6], carry_o[7], carry_o[8]
+    def merge(parent, child):
+        color = parent[6].reshape(nb, blk, 3).at[src_blk].add(
+            child[6].reshape(cap, blk, 3),
+            unique_indices=True).reshape(R, 3)
+        return parent[:6] + (color, parent[7], parent[8] + child[8],
+                             parent[9])
+
+    over = active & ~jnp.repeat(taken, blk)
+    return carry2, merge, over
 
 
 def _stack_init(scene, o, v, key, opts):

@@ -196,7 +196,7 @@ def test_chain_compaction_matches_full_width():
     dt = np.float32
     sd = compile_scene(scn, dt)
     cd = scn.cam.data(dt)
-    R = RT * 4                     # smallest batch that triggers compaction
+    R = RT * 16                    # smallest batch that triggers compaction
     w = h = int(np.sqrt(R))
     assert w * h == R
     xx, yy = _pixel_grid(w, h, np.dtype(dt))
