@@ -1,96 +1,163 @@
-"""The 'nelder-mead' visualization scene (scenes/nelder-mead.c): runs the
-minimal-bounding-sphere Nelder-Mead optimization over a random point cloud
-and renders, per frame, the bounding points, the iterate history so far, and
-the current simplex edges.  scene_frames runs the FULL optimization to count
-iterations (nelder-mead.c scene_frames), 2 frames per iteration."""
+"""The 'nelder-mead' visualization scene — exact mirror of
+scenes/nelder-mead.c: a random point cloud (unseeded drand48, config =
+point count, default 20), the minimal-bounding-sphere Nelder-Mead run
+re-executed per frame, with blue bounding-point spheres, green iterate
+history (exponentially shrinking), the current simplex as red vertex
+spheres joined by thin cylinders (including the reference's degenerate
+k==j zero-length cylinders, which never intersect), a purple marker once
+converged, and a camera that spirals in toward the final point.
+
+Stateful across frames like the C (static bounding_set / total_iterations
+/ final_point, scenes/nelder-mead.c:20-23): scene_frames() must run once
+before scene_setup, which the CLI/animation drivers do.
+"""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
+from ndt_tpu.constants import EPSILON
 from ndt_tpu.scene.model import LightType, Scene
-from ndt_tpu.utils.bounding import radius_about
+from ndt_tpu.utils.bounding import centroid, radius_about
 from ndt_tpu.utils.drand48 import Drand48
 from ndt_tpu.utils.nelder_mead import NelderMead
 
-_N_POINTS = 12
+BOUNDING_RADIUS = 0.25
+SIMPLEX_RADIUS = 0.1
+CURR_RADIUS = 0.125
+HISTORY_RADIUS = 0.0625
+FINAL_RADIUS = 0.125
+
+_state = {"points": None, "total_iterations": 0, "final_point": None}
 
 
-def _make_points(dim):
-    rng = Drand48(7)
-    return [np.array([rng() * 20 - 10 for _ in range(dim)])
-            for _ in range(_N_POINTS)]
-
-
-def _run_nm(dim, max_iter=None):
-    pts = [(p, 0.0) for p in _make_points(dim)]
-    nm = NelderMead(dim).set_seed(np.mean([p for p, _ in pts], axis=0))
-    history = []
-    while not nm.done(1e-4, 1000):
-        if max_iter is not None and nm.iterations >= max_iter:
-            break
-        x = nm.next_point()
-        nm.add_result(x, radius_about(pts, x))
-        history.append(x)
-    return pts, nm, history
+def _init_points(dimensions, config):
+    num_points = 20
+    if config:
+        try:
+            num_points = int(str(config).split()[0])
+        except ValueError:
+            pass
+    if _state["points"] is None:
+        rng = Drand48(None)                       # unseeded, like the C
+        pts = []
+        for _ in range(num_points):
+            pts.append(np.array([(rng() - 0.5) * 20.0
+                                 for _ in range(dimensions)]))
+        _state["points"] = [(p, 0.0) for p in pts]
+    return _state["points"]
 
 
 def scene_frames(dimensions, config=None):
-    _, nm, history = _run_nm(dimensions)
-    return max(2 * len(history), 2)
+    """Full NM run to count iterations (scenes/nelder-mead.c:27-90)."""
+    pts = _init_points(dimensions, config)
+    nm = NelderMead(dimensions)
+    curr = centroid(pts)
+    radius = radius_about(pts, curr)
+    nm.set_seed(curr)
+    total = 0
+    while not nm.done(EPSILON, 1000):
+        nm.add_result(curr, radius)
+        curr = nm.next_point()
+        radius = radius_about(pts, curr)
+        total += 1
+    _state["total_iterations"] = total
+    _state["final_point"] = nm.best_point()
+    return 2 * total
 
 
 def scene_setup(scn: Scene, dimensions, frame, frames, config=None):
     scn.name = "nelder-mead"
     d = dimensions
-    n_iter = max(frame // 2, 1)
-    pts, nm, history = _run_nm(d, max_iter=n_iter)
+    pts = _init_points(d, config)
+    if _state["final_point"] is None:
+        scene_frames(d, config)
+    total = _state["total_iterations"]
+    final_point = np.zeros(d)
+    final_point[: len(_state["final_point"])] = _state["final_point"][:d]
 
     def vec(*comps):
         v = np.zeros(d)
         v[: len(comps)] = comps[:d]
         return v
 
-    scn.cam.set_aim(vec(60, 25, 40, 0), vec(0, 0, 0, 0), vec(0, 10), 0.0)
-    scn.bg[:] = [0.1, 0.1, 0.15]
-    scn.ambient[:] = 0.3
-    lgt = scn.add_light(LightType.POINT)
-    lgt.pos = vec(30, 50, 20, 0)
-    lgt.set_color(400, 400, 400)
+    # camera spiral (scenes/nelder-mead.c:106-141)
+    view_point = vec(60.0, 8.0, 0.0, 10.0)
+    angle = (2.0 * math.pi) * (frame / float(total)) + 1.0
+    cam_radius = 60.0
+    view_point[0] = cam_radius * math.cos(angle)
+    view_point[2] = cam_radius * math.sin(angle)
+    if frame < total:
+        view_target = final_point * (frame / float(total))
+        view_point = view_point * (0.975 ** frame) + view_target
+    else:
+        view_target = final_point.copy()
+        view_point = view_point * (0.975 ** (2 * total - frame)) + view_target
+    scn.cam.set_aim(view_point, view_target, vec(0, 10), 0.0)
+
+    lgt = scn.add_light(LightType.AMBIENT)
+    lgt.set_color(0.5, 0.5, 0.5)
+    lgt = scn.add_light(LightType.DIRECTIONAL)
+    lgt.dir = vec(0, -1, 0, 0)
+    lgt.set_color(0.5, 0.5, 0.5)
 
     floor = scn.add_object("hplane", "floor")
-    floor.set_color(0.7, 0.7, 0.7)
-    floor.add_pos(vec(0, -15)).add_dir(vec(0, 1))
+    floor.set_color(0.8, 0.8, 0.8).set_reflect(0.5, 0.5, 0.5)
+    floor.add_pos(vec(0, -11.0)).add_dir(vec(0, 1.0))
 
-    # bounding points
-    for k, (p, _) in enumerate(pts):
-        s = scn.add_object("sphere", f"point {k}")
-        s.set_color(0.9, 0.9, 0.2)
-        s.add_pos(p).add_size(0.5)
+    for p, _r in pts:
+        sph = scn.add_object("sphere")
+        sph.set_color(0.0, 0.0, 0.8)
+        sph.add_pos(p.copy()).add_size(BOUNDING_RADIUS)
 
-    # iterate history
-    for k, x in enumerate(history):
-        s = scn.add_object("sphere", f"iterate {k}")
-        s.set_color(0.2, 0.4, 0.9)
-        s.add_pos(x).add_size(0.3)
+    # re-run NM up to this frame, rendering the iterate trail
+    # (scenes/nelder-mead.c:196-239)
+    nm = NelderMead(d)
+    center = centroid(pts)
+    nm.set_seed(center)
+    radius = radius_about(pts, center)
+    i = 0
+    while i <= frame and not nm.done(EPSILON, frame):
+        nm.add_result(center, radius)
+        center = nm.next_point()
+        radius = radius_about(pts, center)
 
-    # current simplex edges
-    if nm.points and len(nm.points) > 1:
-        verts = nm.points
-        for i in range(len(verts)):
-            for j in range(i + 1, len(verts)):
-                if np.linalg.norm(verts[i] - verts[j]) < 1e-9:
-                    continue
-                c = scn.add_object("cylinder", f"simplex {i}-{j}")
-                c.set_color(0.9, 0.3, 0.3)
-                c.add_pos(verts[i]).add_pos(verts[j])
-                c.add_size(0.15).add_flag(1)
+        sph = scn.add_object("sphere")
+        sph.set_color(0.0, 1.0, 0.0)
+        sph.add_pos(center.copy())
+        if nm.done(EPSILON, frames + 1):
+            sph.add_size(FINAL_RADIUS)
+            sph.set_color(0.8, 0.0, 0.8)
+        elif i < frame:
+            sph.add_size(HISTORY_RADIUS * (0.975 ** (frame - i)))
+        else:
+            sph.add_size(CURR_RADIUS)
+        i += 1
 
-    # current best: the enclosing sphere itself, transparent
-    center = nm.best_point()
-    s = scn.add_object("sphere", "bounding sphere")
-    s.set_color(0.3, 0.9, 0.3).set_reflect(0.1, 0.1, 0.1)
-    s.add_pos(center).add_size(max(radius_about(pts, center), 1e-3))
-    s.transparent = True
-    s.refract_index = 1.01
+    # current simplex: red vertices + thin edge cylinders, including the
+    # reference's k==j degenerate zero-length cylinders (never hit)
+    for j in range(d + 1):
+        spj = nm.simplex_point(j)
+        if spj is None:
+            continue
+        p = spj[0]
+        sph = scn.add_object("sphere")
+        sph.set_color(0.8, 0.0, 0.0)
+        sph.add_pos(p.copy()).add_size(SIMPLEX_RADIUS)
+        for k in range(j, d + 1):
+            spk = nm.simplex_point(k)
+            if spk is None:
+                continue
+            cyl = scn.add_object("cylinder")
+            cyl.set_color(0.4, 0.2, 0.2)
+            cyl.add_pos(p.copy()).add_pos(spk[0].copy())
+            cyl.add_flag(1).add_size(SIMPLEX_RADIUS / 2.0)
     return 1
+
+
+def scene_cleanup():
+    _state["points"] = None
+    _state["total_iterations"] = 0
+    _state["final_point"] = None

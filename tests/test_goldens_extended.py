@@ -129,3 +129,37 @@ def test_stereo_layouts_match_c(stereo, golden):
     mine = linear_to_bytes(res[0]).astype(np.float64) / 255.0
     ref = load_golden(golden)
     assert _rmse(mine, ref) < 1e-3
+
+
+@pytest.mark.parametrize("frame", [12, 60])
+def test_nelder_mead_scene_golden(frame):
+    """scenes/nelder-mead.c mirror: the NM state machine transcription
+    (utils/nelder_mead.py) reproduces the C's iterate sequence exactly --
+    410 frames (205 iterations) for the default 20-point unseeded-drand48
+    3-D cloud -- so the rendered trail/simplex frames are bit-identical."""
+    from ndt_tpu.render.engine import render_tile
+    from ndt_tpu.scenes import nelder_mead_scene
+
+    nelder_mead_scene.scene_cleanup()
+    mod = get_scene("nelder-mead")
+    total = mod.scene_frames(3, None)
+    assert total == 410            # 205 iterations, same as the C
+    scn = Scene("nelder-mead", 3)
+    mod.scene_setup(scn, 3, frame, total)
+    nelder_mead_scene.scene_cleanup()
+    scn.cam.aim()
+    dt = np.dtype("float64")
+    sd = compile_scene(scn, dt)
+    cd = scn.cam.data(dt.type)
+    cd = dataclasses.replace(cd, dir_x=cd.dir_x * dt.type(200 / 150))
+    xx, yy = _pixel_grid(200, 150, dt)
+    opts = RenderOptions(width=200, height=150, samples=1,
+                         tile=xx.size, dtype="float64")
+    c, _, _ = render_tile(sd, cd, jnp.asarray(xx.ravel()),
+                          jnp.asarray(yy.ravel()),
+                          jax.random.PRNGKey(0), opts, "center")
+    mine = linear_to_bytes(
+        np.asarray(c).reshape(150, 200, 3)).astype(np.float64) / 255.0
+    ref = load_golden(f"nelder_mead_3d_200x150_f{frame}.png")
+    assert _rmse(mine, ref) < 1e-3
+    assert (np.abs(mine - ref).max(axis=-1) > 1 / 255.0).sum() == 0
