@@ -24,12 +24,15 @@ _TRIED = False
 
 def _compile() -> str:
     os.makedirs(_BUILD, exist_ok=True)
-    src = os.path.join(_DIR, "physics.cc")
+    srcs = sorted(
+        os.path.join(_DIR, f) for f in os.listdir(_DIR) if f.endswith(".cc"))
     out = os.path.join(_BUILD, "libndt_native.so")
     if (os.path.exists(out)
-            and os.path.getmtime(out) >= os.path.getmtime(src)):
+            and all(os.path.getmtime(out) >= os.path.getmtime(s)
+                    for s in srcs)):
         return out
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", out]
+    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC"] + srcs
+           + ["-o", out])
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
@@ -50,6 +53,19 @@ def get_lib():
                 ctypes.c_double, ctypes.c_double,
             ]
             lib.ndt_step_balls.restype = None
+            lib.ndt_kd_cells.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ]
+            lib.ndt_kd_cells.restype = ctypes.c_int64
+            lib.ndt_kd_cells_free.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.ndt_kd_cells_free.restype = None
             _LIB = lib
         except Exception:
             _LIB = None
@@ -77,3 +93,30 @@ def step_balls(pos: np.ndarray, vel: np.ndarray, radius: np.ndarray,
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         n, dim, substeps, scale, box)
     return True
+
+
+def kd_cells(lowers: np.ndarray, uppers: np.ndarray, eps: float):
+    """Native kd leaf-cell build (kdsplit.cc): returns (boxes [count, d, 2]
+    f64, items [count] i32) or None when the native library is unavailable
+    (caller falls back to the Python implementation in utils/kdtree.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lo = np.ascontiguousarray(lowers, np.float64)
+    hi = np.ascontiguousarray(uppers, np.float64)
+    n, d = lo.shape
+    pb = ctypes.POINTER(ctypes.c_double)()
+    pi = ctypes.POINTER(ctypes.c_int32)()
+    count = lib.ndt_kd_cells(
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, d, eps, ctypes.byref(pb), ctypes.byref(pi))
+    try:
+        if count == 0:
+            return (np.zeros((0, d, 2), np.float64),
+                    np.zeros((0,), np.int32))
+        boxes = np.ctypeslib.as_array(pb, shape=(count, d, 2)).copy()
+        items = np.ctypeslib.as_array(pi, shape=(count,)).copy()
+    finally:
+        lib.ndt_kd_cells_free(pb, pi)
+    return boxes, items

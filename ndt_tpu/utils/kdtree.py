@@ -195,10 +195,23 @@ def build_c_exact(lowers: np.ndarray, uppers: np.ndarray):
     """lowers/uppers: [n, D] item AABBs (inverted rows = the reference's
     never-bounded infinite cluster children, kd-tree.c:16-21).  Returns
     cells: list over items of [k, D, 2] leaf-cell clip boxes (+-inf where
-    unbounded)."""
+    unbounded).
+
+    Runs the native builder (ndt_tpu/native/kdsplit.cc, identical f64
+    arithmetic, ~100x faster at hundreds of objects) when available; the
+    Python recursion below is the reference implementation and fallback."""
     n, dim = lowers.shape
     cells = [[] for _ in range(n)]
     if n == 0:
+        return cells
+
+    from ndt_tpu import native
+
+    nat = native.kd_cells(lowers, uppers, EPSILON)
+    if nat is not None:
+        boxes, items = nat
+        for b, i in zip(boxes, items):
+            cells[int(i)].append(b)
         return cells
 
     def split(idx, cell_lo, cell_hi):

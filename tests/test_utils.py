@@ -85,3 +85,35 @@ def test_timer():
     t = Timer()
     assert t.elapsed() >= 0
     assert t.remaining(1, 2) >= 0
+
+
+def test_native_kd_cells_matches_python():
+    """The C++ kd leaf-cell builder (native/kdsplit.cc) must reproduce the
+    Python reference implementation bit-for-bit (same candidate order,
+    same f64 clips)."""
+    import ndt_tpu.native as native
+    from ndt_tpu.utils.kdtree import build_c_exact
+
+    if native.get_lib() is None:  # no compiler in this environment
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.RandomState(3)
+    n = 80
+    c = rng.rand(n, 5) * 60
+    lo = c - rng.rand(n, 5) * 4
+    hi = c + rng.rand(n, 5) * 4
+    lo[0], hi[0] = np.inf, -np.inf          # inverted (never-bounded) row
+    native_cells = build_c_exact(lo, hi)
+
+    saved = native.kd_cells
+    native.kd_cells = lambda *a: None       # force the Python path
+    try:
+        py_cells = build_c_exact(lo, hi)
+    finally:
+        native.kd_cells = saved
+
+    assert [len(x) for x in native_cells] == [len(x) for x in py_cells]
+    for a, b in zip(native_cells, py_cells):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
