@@ -75,16 +75,20 @@ def main():
     nrays = int(jax.jit(lambda s, x, y, k: rays_fn(s, x, y, k)[2])(
         scene_data, x, y, key))
 
-    reps = 5
+    reps = 7
     timed = {}
-    for K in (1, 8):
+    for K in (1, 16):
         f = make_k(K)
         _ = float(f(scene_data, x, y, key))           # compile + warm
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             chk = float(f(scene_data, x, y, key))
-        timed[K] = (time.perf_counter() - t0) / reps
-    render_s = (timed[8] - timed[1]) / 7
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        timed[K] = ts[len(ts) // 2]                   # median: the dispatch
+        # tunnel in this harness adds +-3 ms jitter per execution
+    render_s = (timed[16] - timed[1]) / 15
     dispatch_s = timed[1] - render_s
 
     # end-to-end including the framebuffer download through this harness's

@@ -154,15 +154,45 @@ def main(argv=None):
     if total is None:
         total = total_frames or max(last + 1, 1)
 
+    dist_mode = (args.dist_mode or "").strip()[:1].lower() if args.dist_mode \
+        else ""
+    mesh = None
+    if dist_mode in ("r", "p"):
+        # MPI row/pixel-mode analogue: pixel tiles sharded over the device
+        # mesh (the granularity difference disappears on TPU -- both are
+        # a partition of the flat ray batch)
+        from ndt_tpu.parallel.mesh import make_pixel_mesh
+
+        mesh = make_pixel_mesh()
+
     opts = RenderOptions(
         width=width, height=height, samples=args.samples,
         max_optic_depth=max_depth, stereo=stereo,
         specular=not args.no_specular, record_depth=args.depth_map,
         whitted=args.whitted and stereo == "mono",
         aa_diff=aa_diff, aa_depth=aa_depth,
-        seed=0)
+        seed=0, devices=mesh)
     if args.whitted and stereo != "mono":
         print("warning: -w currently applies to mono rendering only")
+
+    if dist_mode in ("f", "F"):
+        # MPI FRAME-mode analogue: whole frames round-robin across devices
+        from ndt_tpu.render.animate import render_animation_multidevice
+
+        total_frames2 = total
+        res_str = f"{width}x{height}"
+        out_dir = os.path.join(
+            "images", "SCENE",
+            f"{dims}d{'_' + mode_str if mode_str else ''}"
+            f"{'_' + cam_str if cam_str else ''}", res_str)
+        secs, total_rays = render_animation_multidevice(
+            mod, dims, first, last, total_frames2, opts, out_dir,
+            config=args.config)
+        n = max(last - first + 1, 1)
+        print(f"rendered {n} frames in {secs:.1f}s "
+              f"({secs / n:.2f} s/frame, {total_rays / secs / 1e6:.1f} "
+              f"Mrays/s)")
+        return 0
 
     # output layout (ndt.c:1840-1873)
     res_str = f"{width}x{height}"

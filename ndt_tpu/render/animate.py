@@ -134,6 +134,15 @@ def render_animation_multidevice(scene_mod, dimensions: int, first: int,
 
 def _drain_one(pending, saver, out_dir, res_str, opts):
     i, name, c, d, n = pending.pop(0)
+    # out_dir may carry a SCENE placeholder (the name is only known once
+    # scene_setup has run, ndt.c:1840-1848)
+    odir = out_dir.replace("SCENE", name)
+    os.makedirs(odir, exist_ok=True)
     img = np.asarray(c).reshape(opts.height, opts.width, 3)
-    saver.save(os.path.join(out_dir, f"{name}_{res_str}_{i:04d}.png"), img)
+    saver.save(os.path.join(odir, f"{name}_{res_str}_{i:04d}.png"), img)
+    if opts.record_depth and d is not None:
+        ddir = os.path.join(odir, "depth")
+        os.makedirs(ddir, exist_ok=True)
+        save_depth(os.path.join(ddir, f"{name}_{res_str}_{i:04d}.png"),
+                   np.asarray(d).reshape(opts.height, opts.width))
     return int(n)

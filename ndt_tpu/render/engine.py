@@ -535,6 +535,18 @@ def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
     P = xx.size
     h, w = xx.shape
     perm, inv = _blocked_perm(w, h)
+    if opts.devices is not None and not (opts.adaptive and opts.samples > 1):
+        # -b r/p: shard the whole grid over the device mesh (MPI row mode)
+        from ndt_tpu.parallel.mesh import render_grid_sharded
+
+        mesh = opts.devices
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad = (-P) % n_dev
+        xf = np.concatenate([xx.ravel()[perm], np.zeros(pad, xx.dtype)])
+        yf = np.concatenate([yy.ravel()[perm], np.zeros(pad, yy.dtype)])
+        c, d, n = render_grid_sharded(scene_data, cam_data, xf, yf, key,
+                                      opts, mesh, eye)
+        return np.asarray(c)[:P][inv], np.asarray(d)[:P][inv], int(n)
     if opts.adaptive and opts.samples > 1:
         from ndt_tpu.render.adaptive import render_adaptive_samples
 

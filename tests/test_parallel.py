@@ -66,3 +66,32 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_cli_row_sharded_matches_default(tmp_path, monkeypatch):
+    """-b r (mesh-sharded tiles) must produce the identical frame to the
+    default single-device path."""
+    from ndt_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["-d", "3", "-f", "0:0", "-r", "64x48",
+                 "-s", "lights3d"]) == 0
+    plain = tmp_path / "images/lights3d/3d/64x48/lights3d_64x48_0000.png"
+    data_plain = plain.read_bytes()
+    plain.unlink()
+    assert main(["-d", "3", "-f", "0:0", "-r", "64x48", "-b", "r",
+                 "-s", "lights3d"]) == 0
+    assert plain.read_bytes() == data_plain
+
+
+def test_cli_frame_parallel_mode(tmp_path, monkeypatch):
+    """-b f (FRAME mode): frames round-robin across the 8-device CPU mesh
+    and all land on disk."""
+    from ndt_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["-d", "6", "-f", "0:3", "-r", "48x36", "-b", "f",
+                 "-s", "anim6d"]) == 0
+    for i in range(4):
+        assert (tmp_path
+                / f"images/anim6d/6d/48x36/anim6d_48x36_000{i}.png").exists()
