@@ -66,6 +66,13 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int32),
             ]
             lib.ndt_kd_cells_free.restype = None
+            lib.ndt_optimal_sphere.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.ndt_optimal_sphere.restype = ctypes.c_double
             _LIB = lib
         except Exception:
             _LIB = None
@@ -120,3 +127,20 @@ def kd_cells(lowers: np.ndarray, uppers: np.ndarray, eps: float):
     finally:
         lib.ndt_kd_cells_free(pb, pi)
     return boxes, items
+
+
+def optimal_sphere(pts: np.ndarray, radii: np.ndarray, eps: float):
+    """Native minimal-bounding-sphere fit (bounding.cc): returns
+    (center [d], radius) or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(pts, np.float64)
+    r = np.ascontiguousarray(radii, np.float64)
+    n, d = p.shape
+    out = np.empty(d, np.float64)
+    radius = lib.ndt_optimal_sphere(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, d, eps, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out, float(radius)

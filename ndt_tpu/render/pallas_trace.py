@@ -610,9 +610,10 @@ def cull_lists(params, o, v, meta, live=None):
         # fully-dead tiles run zero kernel iterations (even infinite leaves)
         may_hit &= live.reshape(n_tiles, RT).any(1)[:, None]
 
-    # per-family stable compaction: surviving gids first.  Sort-free --
-    # cumsum ranks + a one-hot scatter (sorts are slow on TPU; this is a
-    # handful of small elementwise/matmul ops)
+    # per-family stable compaction: surviving gids first.  Small families
+    # use a sort-free cumsum + one-hot scatter (cheap elementwise ops, no
+    # TPU sort); the one-hot is O(sz^2) per tile, so wide families (large
+    # scenes packed into chunks) switch to a per-row stable sort instead.
     n_tot = bnd.shape[0]
     fam_sizes = [meta.n_sph, meta.n_pln, meta.n_quad]
     lists = []
@@ -623,11 +624,19 @@ def cull_lists(params, o, v, meta, live=None):
             counts.append(jnp.zeros((n_tiles,), jnp.int32))
             continue
         mh = may_hit[:, off:off + sz]
-        pos = jnp.cumsum(mh.astype(jnp.int32), axis=1) - 1     # [T, sz]
         slots = jnp.arange(sz, dtype=jnp.int32)
-        onehot = (pos[:, :, None] == slots[None, None, :]) & mh[:, :, None]
-        gid_col = (slots + off)[None, :, None]
-        lists.append((onehot * gid_col).sum(1).astype(jnp.int32))
+        if sz <= 256:
+            pos = jnp.cumsum(mh.astype(jnp.int32), axis=1) - 1   # [T, sz]
+            onehot = ((pos[:, :, None] == slots[None, None, :])
+                      & mh[:, :, None])
+            gid_col = (slots + off)[None, :, None]
+            lists.append((onehot * gid_col).sum(1).astype(jnp.int32))
+        else:
+            keys = jnp.where(mh, jnp.int32(0), jnp.int32(1))
+            _, srt = jax.lax.sort_key_val(
+                keys, jnp.broadcast_to(slots + off, mh.shape),
+                dimension=1, is_stable=True)
+            lists.append(srt.astype(jnp.int32))
         counts.append(mh.sum(1, dtype=jnp.int32))
         off += sz
     lists = (jnp.concatenate(lists, axis=1) if lists

@@ -131,10 +131,23 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
                 [aux, jnp.full((o_p.shape[0] - R,), -1, jnp.int32)])
     live_p = _pad_live(live, o_p.shape[0], R)
     kmode = "closest" if need_normal else "any"
-    t, mat, nrm, props = pallas_trace(scene.ptables, o_p, v_p, aux,
-                                      scene.pmeta, kmode,
-                                      interpret=(mode == "interpret"),
-                                      live=live_p)
+    # large scenes are packed as several SMEM-sized chunks; min-merge the
+    # per-chunk winners (see compile._pack_chunked)
+    t = mat = nrm = props = None
+    for meta_c, tables_c in zip(scene.pmeta, scene.ptables):
+        t_c, mat_c, nrm_c, props_c = pallas_trace(
+            tables_c, o_p, v_p, aux, meta_c, kmode,
+            interpret=(mode == "interpret"), live=live_p)
+        if t is None:
+            t, mat, nrm, props = t_c, mat_c, nrm_c, props_c
+        else:
+            b = t_c < t
+            t = jnp.where(b, t_c, t)
+            mat = jnp.where(b, mat_c, mat)
+            if nrm is not None:
+                nrm = jnp.where(b[:, None], nrm_c, nrm)
+            if props is not None:
+                props = jnp.where(b[:, None], props_c, props)
     t, mat = t[:R], mat[:R]
     nrm = nrm[:R] if nrm is not None else None
     if props is not None:
@@ -163,9 +176,21 @@ def _pallas_shadow(scene, o, v, limit, mode, live=None):
     if o_p.shape[0] != R:
         aux = jnp.concatenate(
             [aux, jnp.zeros((o_p.shape[0] - R,), jnp.float32)])
-    t, mat, _, _ = pallas_trace(scene.ptables, o_p, v_p, aux, scene.pmeta,
-                                "shadow", interpret=(mode == "interpret"),
-                                live=_pad_live(live, o_p.shape[0], R))
+    live_p = _pad_live(live, o_p.shape[0], R)
+    # chunk 0 carries every infinite leaf (compile._pack_chunked), so its
+    # shadow-mode rank truncation is complete; finite-only chunks merge as
+    # plain closest hits
+    t = mat = None
+    for meta_c, tables_c in zip(scene.pmeta, scene.ptables):
+        t_c, mat_c, _, _ = pallas_trace(
+            tables_c, o_p, v_p, aux, meta_c, "shadow",
+            interpret=(mode == "interpret"), live=live_p)
+        if t is None:
+            t, mat = t_c, mat_c
+        else:
+            b = t_c < t
+            t = jnp.where(b, t_c, t)
+            mat = jnp.where(b, mat_c, mat)
     t, mat = t[:R], mat[:R]
     # facet/hfacet leaves are always finite: plain closest-min merge
     t, mat, _, _ = _merge_extras(scene, o, v, t, mat, None, None)

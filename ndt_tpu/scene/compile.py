@@ -423,11 +423,26 @@ def _quadric_gates(leaves, kd_items, dim):
         return None
     lowers = np.stack([lo for lo, _ in kd_items])
     uppers = np.stack([hi for _, hi in kd_items])
-    cells = build_c_exact(lowers, uppers)
+    if len(kd_items) > _KD_EXACT_MAX:
+        # the C-exact build duplicates straddling items into both children,
+        # which explodes combinatorially on dense scenes (measured ~5M leaf
+        # cells at 300 overlapping random objects -- the reference's own
+        # builder has the same blowup, it just never renders such scenes
+        # interactively).  Past the threshold each slab gates on its own
+        # item AABB: still a tight halo bound, exact leaf-cell parity is
+        # guaranteed only below the threshold (covers every golden scene).
+        cells = [[np.stack([lowers[i], uppers[i]], axis=-1)]
+                 for i in range(len(kd_items))]
+    else:
+        cells = build_c_exact(lowers, uppers)
     finite = ~np.isinf(lowers).any(1)
     bb_lo = lowers[finite].min(0) if finite.any() else np.full(dim, -BIG)
     bb_hi = uppers[finite].max(0) if finite.any() else np.full(dim, BIG)
     return cells, bb_lo, bb_hi
+
+
+_GATE_MAX = 24      # max kd leaf cells per slab before union fallback
+_KD_EXACT_MAX = 256  # max kd items for the C-exact leaf-cell build
 
 
 def _build_quadrics(leaves, dim, dt, gates=None):
@@ -455,6 +470,18 @@ def _build_quadrics(leaves, dim, dt, gates=None):
         if slab and gates is not None and leaves[k].kd_item >= 0:
             cells, _, _ = gates
             boxes[k] = cells[leaves[k].kd_item]
+            # kd straddler duplication can give one slab thousands of leaf
+            # cells in dense scenes (the gate tables are [n, B, D] and the
+            # kernel unrolls B box tests per candidate).  Beyond GATE_MAX
+            # cells, fall back to their union: conservative -- it can admit
+            # EPSILON-shell grazes in inter-cell gaps that the C's exact
+            # traversal rejects -- but bounded, and exactness is preserved
+            # for every scene whose slabs stay under the cap (all goldens).
+            if len(boxes[k]) > _GATE_MAX:
+                arr = np.stack(boxes[k])                  # [B_k, D, 2]
+                union = np.stack([arr[:, :, 0].min(0),
+                                  arr[:, :, 1].max(0)], axis=-1)
+                boxes[k] = [union]
             b_max = max(b_max, len(boxes[k]))
     if not is_slab.any():
         b_max = 0           # statically skips the gate in both kernels
@@ -621,8 +648,126 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
         **kwargs)
 
     if dt == np.float32:
-        from ndt_tpu.render.pallas_trace import pack_params
-
-        pmeta, ptables = pack_params(sd)
+        pmeta, ptables = _pack_chunked(sd)
         sd = sd.replace(pmeta=pmeta, ptables=ptables)
     return sd
+
+
+_SMEM_BUDGET = 480 * 1024   # bytes of per-object SMEM tables per kernel call
+
+
+def _slice_block(blk, idx):
+    if blk is None or len(idx) == 0:
+        return None
+    return type(blk)(**{f.name: getattr(blk, f.name)[idx]
+                        for f in dataclasses.fields(blk)})
+
+
+def _pack_chunked(sd: "SceneData"):
+    """Pack the megakernel SMEM tables, splitting large scenes into
+    SMEM-sized sub-scene chunks (the kernel runs once per chunk and the
+    tracer min-merges the winners).  Every INFINITE leaf lands in chunk 0,
+    so the shadow-mode scan-rank truncation (object.c:736-738) stays
+    correct: later chunks are finite-only and merge as plain closest hits.
+    Scenes that fit in one chunk keep their exact original row order."""
+    from ndt_tpu.render.pallas_trace import N_PROPS, pack_params
+
+    D = sd.dim
+    A = 0 if sd.quadrics is None else sd.quadrics.axes.shape[1]
+    B = 0 if sd.quadrics is None else sd.quadrics.gate_tlo.shape[1]
+    cost = {"spheres": 4 * ((D + 1) + 2 + (D + 1)),
+            "planes": 4 * ((2 * D + 1) + 2 + (D + 1)),
+            "quadrics": 4 * ((D + A * D + 2 * A + 2) + 4 * B * D + 2
+                             + (D + 1))}
+    budget = _SMEM_BUDGET - 4 * N_PROPS * sd.n_materials - 4096
+    if budget < 4 * max(cost.values()):
+        raise ValueError(
+            f"SMEM budget too small for the material table "
+            f"({sd.n_materials} materials); raise _SMEM_BUDGET")
+
+    total = sum(cost[f] * getattr(sd, f).mat_id.shape[0]
+                for f in cost if getattr(sd, f) is not None)
+    if total <= budget:
+        meta, tables = pack_params(sd)
+        return (meta,), (tables,)
+
+    # greedy chunking: infinite rows of every family first, then finite
+    chunks: List[dict] = []
+    cur: dict = {}
+    cur_cost = 0
+
+    def flush():
+        nonlocal cur, cur_cost
+        if cur:
+            chunks.append(cur)
+        cur, cur_cost = {}, 0
+
+    fams = [f for f in ("spheres", "planes", "quadrics")
+            if getattr(sd, f) is not None]
+    for fam in fams:
+        ranks = np.asarray(getattr(sd, fam).shadow_rank)
+        inf_idx = np.nonzero(ranks < NOT_INFINITE)[0]
+        if len(inf_idx):
+            cur.setdefault(fam, []).append(inf_idx)
+            cur_cost += cost[fam] * len(inf_idx)
+    if cur_cost > budget:
+        raise ValueError("too many infinite objects for one kernel chunk")
+    for fam in fams:
+        ranks = np.asarray(getattr(sd, fam).shadow_rank)
+        idx = np.nonzero(ranks >= NOT_INFINITE)[0]
+        i = 0
+        while i < len(idx):
+            room = (budget - cur_cost) // cost[fam]
+            if room <= 0:
+                flush()
+                continue
+            take = idx[i:i + room]
+            cur.setdefault(fam, []).append(take)
+            cur_cost += cost[fam] * len(take)
+            i += len(take)
+    flush()
+
+    # pad every chunk to the same per-family row counts so all chunks share
+    # ONE kernel specialization (meta equality = one Mosaic compile); dummy
+    # rows sit at +BIG with tiny bounds and can never win a trace
+    idxs = {fam: [np.concatenate(ch.get(fam, [[]])).astype(np.int64)
+                  for ch in chunks] for fam in fams}
+    pad_to = {fam: max(len(i) for i in idxs[fam]) for fam in fams}
+
+    def pad_block(blk, idx, n_pad):
+        if n_pad == 0:
+            return None
+        sub = {f.name: np.asarray(getattr(blk, f.name))[idx]
+               for f in dataclasses.fields(blk)}
+        extra = n_pad - len(idx)
+        if extra:
+            for name, a in sub.items():
+                pad_row = np.zeros((extra,) + a.shape[1:], a.dtype)
+                if name == "b_center":
+                    pad_row[:, 0] = BIG
+                elif name == "b_radius":
+                    pad_row[:] = 1e-6
+                elif name in ("base", "center", "point"):
+                    pad_row[:, 0] = BIG
+                elif name == "shadow_rank":
+                    pad_row[:] = NOT_INFINITE
+                sub[name] = np.concatenate([a, pad_row])
+        return type(blk)(**sub)
+
+    metas, tables = [], []
+    for ci in range(len(chunks)):
+        sub = sd.replace(
+            spheres=(pad_block(sd.spheres, idxs["spheres"][ci],
+                               pad_to["spheres"])
+                     if "spheres" in fams else None),
+            planes=(pad_block(sd.planes, idxs["planes"][ci],
+                              pad_to["planes"])
+                    if "planes" in fams else None),
+            quadrics=(pad_block(sd.quadrics, idxs["quadrics"][ci],
+                                pad_to["quadrics"])
+                      if "quadrics" in fams else None),
+            facets=None, hfacets=None)
+        m, t = pack_params(sub)
+        metas.append(m)
+        tables.append(t)
+    return tuple(metas), tuple(tables)

@@ -29,13 +29,12 @@ def centroid(points: Sequence[Bound]) -> np.ndarray:
 def radius_about(points: Sequence[Bound], center: np.ndarray) -> float:
     """bounds_list_radius (bounding.c:161-175): max over points of
     |center - p| (+ p's own radius when positive)."""
-    best = -1.0
-    for c, r in points:
-        d = float(np.linalg.norm(center - c))
-        if r > 0.0:
-            d += r
-        best = max(best, d)
-    return best
+    cs = np.stack([c for c, _ in points])
+    rs = np.asarray([r for _, r in points])
+    d = np.linalg.norm(center[None, :] - cs, axis=1)
+    d = np.where(rs > 0.0, d + rs, d)
+    best = float(d.max())
+    return max(best, -1.0)
 
 
 def optimal_bounding_sphere(points: Sequence[Bound]) -> Tuple[np.ndarray, float]:
@@ -43,10 +42,19 @@ def optimal_bounding_sphere(points: Sequence[Bound]) -> Tuple[np.ndarray, float]
     radius over the center, <=1000 iterations, reverting to the centroid
     seed if the result regressed by more than EPSILON."""
     points = [(np.asarray(c, dtype=np.float64), float(r)) for c, r in points]
-    seed = centroid(points)
-    seed_radius = radius_about(points, seed)
     if len(points) == 1:
         return points[0][0].copy(), points[0][1]
+
+    from ndt_tpu import native
+
+    nat = native.optimal_sphere(
+        np.stack([c for c, _ in points]),
+        np.asarray([r for _, r in points]), EPSILON)
+    if nat is not None:
+        return nat
+
+    seed = centroid(points)
+    seed_radius = radius_about(points, seed)
 
     nm = NelderMead(len(seed)).set_seed(seed)
     while not nm.done(EPSILON, 1000):

@@ -217,3 +217,55 @@ def test_chain_compaction_matches_full_width():
     assert n0 > R  # reflections actually happened
     np.testing.assert_array_equal(d0, d4)
     np.testing.assert_allclose(c0, c4, atol=1e-6)
+
+
+def test_chunked_scene_trace_matches_jnp(monkeypatch):
+    """Large scenes split into SMEM-sized chunks (compile._pack_chunked);
+    force chunking on the balls scene with a tiny budget and check the
+    interpret-mode megakernel's merged winners against the jnp path."""
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.scene import compile as compile_mod
+    from ndt_tpu.scenes import get_scene
+
+    mod = get_scene("balls")
+    scn = Scene("balls", 4)
+    mod.scene_setup(scn, 4, 0, 1500)
+    scn.cam.aim()
+    monkeypatch.setattr(compile_mod, "_SMEM_BUDGET", 10 * 1024)
+    sd = compile_scene(scn, np.float32)
+    assert len(sd.pmeta) >= 3            # actually chunked
+
+    dt = np.float32
+    cd = scn.cam.data(dt)
+    xx, yy = _pixel_grid(64, 48, np.dtype(dt))
+    from ndt_tpu.render.engine import gen_rays
+
+    opts = RenderOptions(width=64, height=48, samples=1, tile=64 * 48)
+    o, v = gen_rays(cd, jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel()),
+                    jax.random.PRNGKey(0), opts, "center", False, False)
+
+    trace_mod.set_trace_impl("pallas-interpret")
+    try:
+        tr_p = trace_mod.trace(sd, o, v, need_normal=True)
+        sh_p = trace_mod.shadow_trace(sd, o, v,
+                                      jnp.full(o.shape[0], 100.0, dt))
+    finally:
+        trace_mod.set_trace_impl("jnp")
+    try:
+        tr_j = trace_mod.trace(sd, o, v, need_normal=True)
+        sh_j = trace_mod.shadow_trace(sd, o, v,
+                                      jnp.full(o.shape[0], 100.0, dt))
+    finally:
+        trace_mod.set_trace_impl("auto")
+
+    hit_p, hit_j = np.asarray(tr_p.hit), np.asarray(tr_j.hit)
+    assert (hit_p == hit_j).mean() > 0.999   # knife-edge margins may differ
+    agree = hit_p & hit_j
+    np.testing.assert_allclose(np.asarray(tr_p.t)[agree],
+                               np.asarray(tr_j.t)[agree], rtol=2e-4,
+                               atol=2e-3)
+    assert (np.asarray(tr_p.mat_id)[agree]
+            == np.asarray(tr_j.mat_id)[agree]).all()
+    s_agree = np.asarray(sh_p.hit) & np.asarray(sh_j.hit)
+    assert (np.asarray(sh_p.mat_id)[s_agree]
+            == np.asarray(sh_j.mat_id)[s_agree]).mean() > 0.999
