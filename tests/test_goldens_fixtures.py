@@ -64,3 +64,43 @@ def test_whitted_aa_golden():
     mine, _ = _frame("test", 4, opts, total=300)
     ref = load_golden("test_whitted_4d_160x120_f0.png")
     assert _rmse(mine, ref) < 2e-3
+
+
+def test_hidef_stereo_golden_bands():
+    """HIDEF 3D layout (ndt.c:613-630): 1920x2205, rows 0-1079 left eye,
+    45 blank rows, rows 1125-2204 right eye, both at the 1080-row aspect.
+    Band-compare one stripe from each eye against the C golden."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ndt_tpu.render.engine import RenderOptions, render_tile
+    from ndt_tpu.scene.compile import compile_scene
+
+    mod = get_scene("test")
+    scn = Scene("test", 4)
+    mod.scene_setup(scn, 4, 0, 300)
+    scn.cam.aim()
+    dt = np.dtype("float64")
+    sd = compile_scene(scn, dt)
+    cd = scn.cam.data(dt.type)
+    cd = dataclasses.replace(cd, dir_x=cd.dir_x * dt.type(1920 / 1080.0))
+    ref = load_golden("test_hidef_4d_1920x2205_f0.png")
+    opts = RenderOptions(width=1920, height=2205, samples=1,
+                         dtype="float64", stereo="hidef", tile=1 << 17)
+
+    xs = (np.arange(1920, dtype=np.float64) / 1920 - 0.5)
+    for j0, j1, base, eye in ((560, 600, 0, "left"),
+                              (1685, 1725, 1125, "right")):
+        jp = np.arange(j0, j1, dtype=np.float64) - base
+        ys = -(jp / 1080.0 - 0.5)
+        xg, yg = np.meshgrid(xs, ys)
+        c, _, _ = render_tile(sd, cd, jnp.asarray(xg.ravel()),
+                              jnp.asarray(yg.ravel()),
+                              jax.random.PRNGKey(0),
+                              dataclasses.replace(opts, tile=xg.size), eye)
+        mine = linear_to_bytes(
+            np.asarray(c).reshape(-1, 1920, 3)).astype(np.float64) / 255.0
+        rmse = float(np.sqrt(((mine - ref[j0:j1]) ** 2).mean()))
+        assert rmse < 1e-3, (eye, rmse)
