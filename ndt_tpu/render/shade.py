@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ndt_tpu import mathnd
 from ndt_tpu.constants import EPSILON, SPECULAR_POWER
@@ -41,13 +42,14 @@ def _sample_area_light(light: LightData, key, shape):
     mapping (equivalent in distribution to the C's rejection sampling),
     rect via two uniforms in [-1, 1]."""
     kx, ky = jax.random.split(key)
+    dt = light.pos.dtype
     if light.kind == DISK:
-        r = jnp.sqrt(jax.random.uniform(kx, shape))
-        th = jax.random.uniform(ky, shape) * (2.0 * jnp.pi)
+        r = jnp.sqrt(jax.random.uniform(kx, shape, dt))
+        th = jax.random.uniform(ky, shape, dt) * dt.type(2.0 * np.pi)
         x, y = r * jnp.cos(th), r * jnp.sin(th)
     else:
-        x = jax.random.uniform(kx, shape) * 2.0 - 1.0
-        y = jax.random.uniform(ky, shape) * 2.0 - 1.0
+        x = jax.random.uniform(kx, shape, dt) * 2.0 - 1.0
+        y = jax.random.uniform(ky, shape, dt) * 2.0 - 1.0
     return (light.pos[None, :]
             + light.u1[None, :] * (x * light.radius)[:, None]
             + light.v1[None, :] * (y * light.radius)[:, None])

@@ -269,3 +269,75 @@ def test_chunked_scene_trace_matches_jnp(monkeypatch):
     s_agree = np.asarray(sh_p.hit) & np.asarray(sh_j.hit)
     assert (np.asarray(sh_p.mat_id)[s_agree]
             == np.asarray(sh_j.mat_id)[s_agree]).mean() > 0.999
+
+
+def _area_light_scene(kind):
+    from ndt_tpu.scene.model import LightType
+
+    scn = Scene("area", 4)
+    s = scn.add_object("sphere", "blocker")
+    s.add_pos(np.array([0, 3.0, 10.0, 0])).add_size(1.5)
+    s.set_color(0.8, 0.2, 0.2)
+    floor = scn.add_object("hplane", "floor")
+    floor.add_pos(np.array([0, 0.0, 0, 0])).add_dir(np.array([0, 1.0, 0, 0]))
+    floor.set_color(0.7, 0.7, 0.7)
+    lgt = scn.add_light(kind)
+    lgt.pos = np.array([0.0, 12.0, 10.0, 0.0])
+    lgt.radius = 3.0
+    lgt.set_color(120, 120, 120)
+    lgt.aim(np.array([0.0, 0.0, 10.0, 0.0]))   # scene_aim_light
+    lgt.prepare()
+    scn.cam.set_aim(np.array([0, 6.0, -6.0, 0]), np.array([0, 0, 10.0, 0]),
+                    np.array([0, 1.0, 0, 0]))
+    scn.ambient[:] = 0.1
+    return scn
+
+
+@pytest.mark.parametrize("kind", ["DISK", "RECT"])
+def test_area_lights_cast_soft_shadows(kind):
+    """DISK/RECT lights sample a random surface point per shading event
+    (ndt.c:116-147): with many samples the shadow edge is a penumbra --
+    pixels neither fully lit nor fully dark."""
+    from ndt_tpu.scene.model import LightType
+
+    scn = _area_light_scene(LightType[kind])
+    opts = RenderOptions(width=48, height=36, samples=24, adaptive=False,
+                         tile=48 * 36)
+    img, _, _ = render_frame(scn, opts)
+    lum = np.asarray(img).mean(-1)
+    # gray floor pixels only (exclude the red blocker sphere and the sky)
+    floor = (np.abs(img[..., 0] - img[..., 1]) < 0.05)[16:30]
+    vals = lum[16:30][floor]
+    lit, dark = vals.max(), vals.min()
+    assert lit > 2.5 * dark + 1e-3         # a shadow exists
+    mid = ((vals > dark + 0.25 * (lit - dark))
+           & (vals < dark + 0.75 * (lit - dark)))
+    assert mid.sum() >= 3                  # ...with a penumbra
+
+
+def test_depth_of_field_blurs_far_objects():
+    """Aperture sampling (ndt.c:527-542): with focus on the near sphere, a
+    far sphere's silhouette spreads over more pixels than at aperture 0."""
+    def build():
+        scn = _small_scene()
+        far = scn.add_object("sphere", "far")
+        far.add_pos(np.array([3.0, 1.0, 40.0, 0])).add_size(2.0)
+        far.set_color(0.1, 0.9, 0.1)
+        scn.cam.focal_distance = 18.0      # focus at the near sphere
+        return scn
+
+    def green_extent(aperture):
+        scn = build()
+        scn.cam.aperture_radius = aperture
+        opts = RenderOptions(width=64, height=48, samples=32,
+                             adaptive=False, tile=64 * 48, seed=5)
+        img, _, _ = render_frame(scn, opts)
+        greenish = ((img[..., 1] > img[..., 0] + 0.02)
+                    & (img[..., 1] > img[..., 2] + 0.02)
+                    & (img[..., 1] > 0.1))
+        return int(greenish.sum())
+
+    sharp = green_extent(0.0)
+    blurred = green_extent(1.5)
+    assert sharp > 0
+    assert blurred > sharp * 1.2
