@@ -24,6 +24,7 @@ _SCENES = {
     "random": "ndt_tpu.scenes.random_scene",
     "cluster5d": "ndt_tpu.scenes.cluster5d",
     "lights3d": "ndt_tpu.scenes.lights3d",
+    "infinite4d": "ndt_tpu.scenes.infinite4d",
     "anim6d": "ndt_tpu.scenes.anim6d",
     "nelder-mead": "ndt_tpu.scenes.nelder_mead_scene",
     "yaml": "ndt_tpu.scenes.yaml_scene",

@@ -104,3 +104,14 @@ def test_hidef_stereo_golden_bands():
             np.asarray(c).reshape(-1, 1920, 3)).astype(np.float64) / 255.0
         rmse = float(np.sqrt(((mine - ref[j0:j1]) ** 2).mean()))
         assert rmse < 1e-3, (eye, rmse)
+
+
+def test_infinite_objects_golden():
+    """Infinite cylinder (flag[1]=1) + infinite hcylinder (flag[0]=1):
+    unbounded quadrics participate in closest hits AND in the shadow scan's
+    infinite-first rank truncation (object.c:736-738)."""
+    opts = RenderOptions(width=240, height=180, samples=1, dtype="float64")
+    mine, _ = _frame("infinite4d", 4, opts)
+    ref = load_golden("infinite4d_4d_240x180_f0.png")
+    assert _rmse(mine, ref) < 1e-3
+    assert (np.abs(mine - ref).max(axis=-1) > 1 / 255.0).sum() == 0
