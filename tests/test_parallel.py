@@ -95,3 +95,22 @@ def test_cli_frame_parallel_mode(tmp_path, monkeypatch):
     for i in range(4):
         assert (tmp_path
                 / f"images/anim6d/6d/48x36/anim6d_48x36_000{i}.png").exists()
+
+
+def test_cli_yaml_snapshots_rerender(tmp_path, monkeypatch):
+    """-y writes per-frame YAML snapshots (ndt.c:1798-1810) that re-render
+    identically through the 'yaml' scene."""
+    from ndt_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["-d", "3", "-f", "0:0", "-r", "48x36",
+                 "-s", "lights3d", "-y"]) == 0
+    frame = tmp_path / "images/lights3d/3d/48x36/lights3d_48x36_0000.png"
+    snap = tmp_path / "yaml/lights3d/lights3d_00000.yaml"
+    assert snap.exists()
+    data = frame.read_bytes()
+    frame.unlink()
+    assert main(["-d", "3", "-f", "0:0", "-r", "48x36",
+                 "-s", "yaml", "-u", str(snap)]) == 0
+    frame2 = tmp_path / "images/lights3d/3d/48x36/lights3d_48x36_0000.png"
+    assert frame2.read_bytes() == data
