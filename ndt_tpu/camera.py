@@ -248,6 +248,30 @@ class Camera:
             self.focal_distance = 1.0 / (1 / f - 1 / img_plane_dist)
         return self
 
+    def describe(self) -> str:
+        """camera_print (camera.c:583-611)."""
+        def v(x):
+            if x is None:
+                return None
+            return tuple(round(float(c), 4) for c in np.asarray(x))
+
+        lines = [f"  camera type {int(self.type)}: viewPoint {v(self.view_point)}"
+                 f" -> viewTarget {v(self.view_target)}, up {v(self.up)}"]
+        if self.type in (CameraType.VR, CameraType.PANO):
+            lines.append(f"    vFov,hFov: {self.v_fov:g},{self.h_fov:g}")
+        if self.rotation:
+            lines.append(f"    rotation: {self.rotation:g}")
+        if self.aperture_radius > 0:
+            lines.append(f"    aperture radius: {self.aperture_radius:g}, "
+                         f"focal distance: {self.focal_distance:g}")
+        if self.prepared:
+            lines.append(f"    pos {v(self.pos)}, imgOrig {v(self.img_orig)}")
+            lines.append(f"    dirX {v(self.dir_x)}, dirY {v(self.dir_y)}")
+        return "\n".join(lines)
+
+    def print(self):
+        print(self.describe())
+
     def data(self, dtype=np.float32):
         """Pack the derived state into the flat pytree the device ray
         generator consumes."""

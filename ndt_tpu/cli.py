@@ -205,6 +205,16 @@ def main(argv=None):
     timer = Timer()
     rendered = 0
     total_rays = 0
+    # NDT_PROFILE=<dir>: capture a jax.profiler trace of the frame loop
+    profile_dir = os.environ.get("NDT_PROFILE")
+    profiler_cm = None
+    if profile_dir:
+        import contextlib
+
+        import jax.profiler
+
+        profiler_cm = jax.profiler.trace(profile_dir)
+        profiler_cm.__enter__()
     for i in range(0, last + 1):
         scn = Scene("scene", dims)
         mod.scene_setup(scn, dims, i, total, args.config)
@@ -245,12 +255,28 @@ def main(argv=None):
               f"({timer.elapsed():.1f}s elapsed, ~{remaining:.0f}s left, "
               f"{nrays / 1e6:.1f} Mrays)", flush=True)
 
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {profile_dir}")
     saver.drain()
     secs = timer.elapsed()
     if rendered:
+        # summary telemetry (ndt.c:2013-2057): avg s/frame + estimated
+        # total chip-time for the whole animation at this rate
+        spf = secs / rendered
+        n_dev = 1
+        try:
+            import jax
+
+            n_dev = max(len(jax.devices()), 1) if mesh is not None else 1
+        except Exception:
+            pass
+        est_total = spf * (total if total else rendered) * n_dev
         print(f"rendered {rendered} frames in {secs:.1f}s "
-              f"({secs / rendered:.2f} s/frame, "
-              f"{total_rays / max(secs, 1e-9) / 1e6:.1f} Mrays/s)")
+              f"({spf:.2f} s/frame, "
+              f"{total_rays / max(secs, 1e-9) / 1e6:.1f} Mrays/s); "
+              f"est. {est_total / 3600.0:.2f} chip-hours for all "
+              f"{total if total else rendered} frames")
     return 0
 
 

@@ -336,6 +336,29 @@ class Scene:
             o.validate()
         return self
 
+    def describe(self) -> str:
+        """scene_print (scene.c:342-369): the object tree with types/names,
+        preceded by the camera state."""
+        lines = [f"scene {self.name!r}: {self.dim}-D, "
+                 f"{len(self.objects)} objects, {len(self.lights)} lights, "
+                 f"ambient {tuple(round(float(x), 3) for x in self.ambient)}"]
+        lines.append(self.cam.describe())
+        for lgt in self.lights:
+            lines.append(f"  light {lgt.type.name.lower()}"
+                         f"{' ' + lgt.name if lgt.name else ''}: "
+                         f"color {tuple(round(float(x), 3) for x in lgt.color)}")
+
+        def walk(objs, depth):
+            for o in objs:
+                lines.append("    " * depth + f"  {o.type_name}: {o.name}")
+                walk(o.children, depth + 1)
+
+        walk(self.objects, 0)
+        return "\n".join(lines)
+
+    def print(self):
+        print(self.describe())
+
     def find_dupes(self):
         """scene_find_dupes (scene.c:371-400): exact-parameter duplicates."""
         dupes = []

@@ -255,3 +255,19 @@ def build_c_exact(lowers: np.ndarray, uppers: np.ndarray):
     split(np.arange(n),
           np.full(dim, -np.inf), np.full(dim, np.inf))
     return cells
+
+
+def format_tree(node: KdNode, depth: int = 0) -> str:
+    """kd_tree_print equivalent (kd-tree.c:227-292): indented dump of
+    split planes and leaf item ids."""
+    pad = "  " * depth
+    if node is None:
+        return pad + "(empty)"
+    ids = [it.obj_id for it in node.items]
+    if node.dim < 0:
+        return f"{pad}leaf: {len(ids)} items {ids}"
+    out = [f"{pad}split dim {node.dim} at {node.boundary:g}"
+           + (f", straddlers {ids}" if ids else "")]
+    out.append(format_tree(node.left, depth + 1))
+    out.append(format_tree(node.right, depth + 1))
+    return "\n".join(out)
