@@ -42,7 +42,7 @@ from flax import struct
 
 from ndt_tpu import mathnd
 from ndt_tpu.constants import BIG, EPSILON
-from ndt_tpu.scene.model import LightType, Object, Scene
+from ndt_tpu.scene.model import LightType, Object, Scene, get_type_info
 
 
 @struct.dataclass
@@ -303,14 +303,16 @@ def _flatten(objects: List[Object], dim: int):
             # (kd-tree.c:446-460), not the tree
             item = -1 if infinite else new_item(obj)
         mid = new_mat(obj) if mat_id is None else mat_id
+        emit(obj, mid, item)
+
+    def emit(obj: Object, mid: int, item: int):
+        t = obj.type_name
         if t == "hcube":
             for face in _hcube_faces(obj):
                 leaves.append(_Leaf("quadric", face, mid, kd_item=item))
-            return
-        if t == "hdisk":
+        elif t == "hdisk":
             leaves.append(_Leaf("plane", obj, mid, kd_item=item))
-            return
-        if t == "sphere":
+        elif t == "sphere":
             leaves.append(_Leaf("sphere", obj, mid, kd_item=item))
         elif t == "hplane":
             leaves.append(_Leaf("plane", obj, mid, kd_item=item))
@@ -321,7 +323,15 @@ def _flatten(objects: List[Object], dim: int):
         elif t == "hfacet":
             leaves.append(_Leaf("hfacet", obj, mid, kd_item=item))
         else:
-            raise ValueError(f"cannot compile object type {t!r}")
+            info = get_type_info(t)
+            if info is not None and info.expand is not None:
+                # custom composite type (the plugin ABI replacement):
+                # expansion leaves report the parent's material, like
+                # hcube faces (hcube.c:244-247)
+                for sub in info.expand(obj):
+                    emit(sub, mid, item)
+            else:
+                raise ValueError(f"cannot compile object type {t!r}")
 
     for o in objects:
         walk(o, None)

@@ -31,7 +31,15 @@ class ObjectTypeInfo:
 
     Counts may be fixed ints or callables ``f(obj) -> int`` for types whose
     parameter count depends on dimension/flags (hcylinder needs D-1
-    positions, orthotope flag[0] directions, hcube D of each)."""
+    positions, orthotope flag[0] directions, hcube D of each).
+
+    Custom types (the dlopen plugin ABI's replacement, objects/stubs.c and
+    objects/README.md:121-135): register with an ``expand`` callable that
+    lowers one object into a list of builtin-type (or other registered)
+    Objects at compile time -- exactly how hcube becomes orthotope faces.
+    Expanded leaves report the PARENT's material, like hcube faces do
+    (hcube.c:244-247).  ``bounding`` optionally overrides the bounding
+    point list; by default the union of the expansion's points is used."""
 
     name: str
     n_pos: object
@@ -39,6 +47,8 @@ class ObjectTypeInfo:
     n_size: object
     n_flag: object
     n_obj: object
+    expand: object = None      # f(obj) -> List[Object], compile-time
+    bounding: object = None    # f(obj) -> [(center, radius), ...]
 
 
 _REGISTRY: Dict[str, ObjectTypeInfo] = {}
@@ -47,6 +57,10 @@ _REGISTRY: Dict[str, ObjectTypeInfo] = {}
 def register_object_type(info: ObjectTypeInfo):
     _REGISTRY[info.name] = info
     return info
+
+
+def get_type_info(name: str) -> Optional[ObjectTypeInfo]:
+    return _REGISTRY.get(name)
 
 
 def object_types() -> List[str]:
@@ -227,6 +241,14 @@ class Object:
             pts = []                                                # cluster.c bounding
             for c in self.children:
                 pts.extend(c.bounding_points())
+            return pts
+        info = _REGISTRY.get(t)
+        if info is not None and info.bounding is not None:
+            return info.bounding(self)
+        if info is not None and info.expand is not None:
+            pts = []
+            for sub in info.expand(self):
+                pts.extend(sub.bounding_points())
             return pts
         raise ValueError(f"no bounding rule for type {t!r}")
 

@@ -173,3 +173,65 @@ def test_light_prepare_orthonormal():
     assert abs(np.dot(lgt.u1, lgt.v1)) < 1e-9
     np.testing.assert_allclose(np.linalg.norm(lgt.u1), 1.0)
     np.testing.assert_allclose(np.linalg.norm(lgt.v1), 1.0)
+
+
+def test_custom_composite_type():
+    """register_object_type with an ``expand`` hook -- the dlopen plugin
+    ABI replacement (objects/stubs.c contract): a custom 'ring' of spheres
+    compiles and renders exactly like its hand-built expansion, with the
+    ring's own material on every leaf."""
+    import jax
+
+    from ndt_tpu.render.engine import RenderOptions, render_frame
+    from ndt_tpu.scene.model import (ObjectTypeInfo, _REGISTRY,
+                                     register_object_type)
+
+    def expand_ring(obj):
+        k = obj.flag[0]
+        out = []
+        for i in range(k):
+            a = 2.0 * np.pi * i / k
+            s = Object(obj.dim, "sphere", f"{obj.name}[{i}]")
+            c = obj.pos[0] + obj.dir[0] * np.cos(a) + obj.dir[1] * np.sin(a)
+            s.add_pos(c)
+            s.add_size(obj.size[0])
+            out.append(s)
+        return out
+
+    register_object_type(ObjectTypeInfo("ring", 1, 2, 1, 1, 0,
+                                        expand=expand_ring))
+    try:
+        def base_scene():
+            scn = Scene("ring", 4)
+            scn.ambient[:] = 0.3
+            lgt = scn.add_light()
+            lgt.pos = np.array([0.0, 20.0, 0.0, 0.0])
+            lgt.set_color(80, 80, 80)
+            scn.cam.set_aim(np.array([0.0, 6.0, -14.0, 0.0]), np.zeros(4),
+                            np.array([0, 1.0, 0, 0]), 0.0)
+            return scn
+
+        scn = base_scene()
+        ring = scn.add_object("ring", "r")
+        ring.set_color(0.8, 0.3, 0.2).set_reflect(0.2, 0.2, 0.2)
+        ring.add_pos(np.array([0.0, 0.0, 5.0, 0.0]))
+        ring.add_dir(np.array([6.0, 0.0, 0.0, 0.0]))
+        ring.add_dir(np.array([0.0, 6.0, 0.0, 0.0]))
+        ring.add_size(1.5).add_flag(6)
+        opts = RenderOptions(width=48, height=36, samples=1, tile=48 * 36)
+        img_ring, _, n_ring = render_frame(scn, opts)
+
+        scn2 = base_scene()
+        for sub in expand_ring(ring):
+            s = scn2.add_object("sphere", sub.name)
+            s.set_color(*ring.color).set_reflect(*ring.reflect)
+            s.add_pos(sub.pos[0]).add_size(sub.size[0])
+        img_hand, _, n_hand = render_frame(scn2, opts)
+        np.testing.assert_allclose(img_ring, img_hand, atol=1e-6)
+        assert n_ring == n_hand
+        # the composite's leaves carry the ring's own material id
+        sd = compile_scene(scn, np.float32)
+        assert sd.spheres.mat_id.shape[0] == 6
+        assert len(set(np.asarray(sd.spheres.mat_id))) == 1
+    finally:
+        _REGISTRY.pop("ring", None)
