@@ -65,7 +65,9 @@ class RenderOptions:
                                      # always adapts; only kicks in with
                                      # jittered samples > 1)
     dtype: str = "float32"
-    tile: int = 1 << 16              # rays per device dispatch
+    tile: int = 1 << 20              # rays per device dispatch (a 1080p
+                                     # frame fits in 2 dispatches; smaller
+                                     # tiles multiply host-dispatch latency)
     stack_size: int = 16             # pending refraction branches per ray
     chunk_iters: int = 16            # bounce iterations per device dispatch
     compact: int = 4                 # bounce-survivor compaction divisor:
