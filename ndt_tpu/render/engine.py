@@ -84,6 +84,26 @@ class RenderOptions:
 # bounce loop
 
 
+import os as _os
+
+# fused in-kernel shadow tests (one megakernel launch per bounce instead of
+# closest + shadow + occlusion); NDT_FUSED_SHADOW=0 to fall back
+_FUSED_SHADOW = _os.environ.get("NDT_FUSED_SHADOW", "1") != "0"
+
+
+def _trace_with_lights(scene, o, v, live, specular):
+    """Closest hit plus, when the scene supports it, the complete local
+    shading computed INSIDE the same megakernel launch (render/pallas_trace
+    fused mode).  Returns (TraceResult, local [R, 3] | None)."""
+    from ndt_tpu.render.trace import (_pallas_mode, fused_light_info,
+                                      trace_fused)
+
+    if (_FUSED_SHADOW and _pallas_mode(scene, o) is not None
+            and fused_light_info(scene) is not None):
+        return trace_fused(scene, o, v, live=live, specular=specular)
+    return trace(scene, o, v, need_normal=True, live=live), None
+
+
 def _node_budget(opts: RenderOptions, has_transparent: bool) -> int:
     if not has_transparent:
         return opts.max_optic_depth
@@ -165,14 +185,18 @@ def _chain_loop(scene, R, dt, opts):
         # dead lanes re-trace their stale (spatially coherent) ray; the
         # megakernel skips fully-dead tiles via the live mask and bounds
         # live tiles' culls over surviving lanes only
-        tr = trace(scene, o, v, need_normal=True, live=active)
+        tr, fused_local = _trace_with_lights(scene, o, v, active,
+                                             opts.specular)
         hit = tr.hit & active
         nrays = (nrays + active.sum()
                  + hit.sum() * n_shadow_lights).astype(nrays.dtype)
 
         key, skey = jax.random.split(key)
-        local = apply_lights(scene, o, v, tr, hit, key=skey,
-                             specular=opts.specular)
+        if fused_local is None:
+            local = apply_lights(scene, o, v, tr, hit, key=skey,
+                                 specular=opts.specular)
+        else:
+            local = fused_local
 
         refl = tr.reflect
         contrib = refl.max(axis=-1)
@@ -340,7 +364,8 @@ def _stack_loop(scene, R, dt, opts):
         co, cv = pop(st_o, j), pop(st_v, j)
         cw, cf, cd = pop(st_w, j), pop(st_f, j), pop(st_d, j)
 
-        tr = trace(scene, co, cv, need_normal=True, live=valid)
+        tr, fused_local = _trace_with_lights(scene, co, cv, valid,
+                                             opts.specular)
         hit = tr.hit & valid
         # rays-traced accounting (the Mrays/s benchmark metric): one trace
         # per live path node + one shadow trace per non-ambient light per hit
@@ -348,8 +373,11 @@ def _stack_loop(scene, R, dt, opts):
                  + hit.sum() * n_shadow_lights).astype(nrays.dtype)
 
         key, skey = jax.random.split(key)
-        local = apply_lights(scene, co, cv, tr, hit, key=skey,
-                             specular=opts.specular)
+        if fused_local is None:
+            local = apply_lights(scene, co, cv, tr, hit, key=skey,
+                                 specular=opts.specular)
+        else:
+            local = fused_local
 
         refl = tr.reflect                           # [R, 3]
         transp = tr.transparent

@@ -50,7 +50,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ndt_tpu.constants import BIG, EPSILON
+from ndt_tpu.constants import BIG, EPSILON, SPECULAR_POWER
+
+
+def _ipow(x, n):
+    """x**n for static integer n by binary exponentiation (no transcendental
+    pow on the VPU hot path)."""
+    assert float(n) == int(n), n
+    n = int(n)
+    acc = None
+    sq = x
+    while n:
+        if n & 1:
+            acc = sq if acc is None else acc * sq
+        sq = sq * sq
+        n >>= 1
+    return acc if acc is not None else jnp.ones_like(x)
 
 import os as _os
 LANE = 128
@@ -71,6 +86,11 @@ class PallasMeta(NamedTuple):
     n_quad: int
     a_quad: int  # padded axis count of the quadric block
     b_gate: int  # kd leaf-cell gate boxes per quadric (1 = no gating)
+    # static (global_id, shadow_rank) of the scene's INFINITE leaves, rank
+    # ascending: the shadow-mode first-rank pass and the fused in-kernel
+    # shadow tests evaluate exactly these instead of scanning every
+    # candidate for its rank (there are usually 0-2 infinite objects)
+    inf_gids: tuple = ()
 
 
 # --------------------------------------------------------------------------
@@ -303,15 +323,38 @@ def _make_kernel(meta: PallasMeta, mode: str):
         if meta.n_quad:
             fam_meta.append(("quad", 2, meta.n_sph + meta.n_pln))
 
-        evals = {
-            "sph": lambda n: _sphere_eval(sph_ref, n, o, v, D, want_normal),
-            "pln": lambda n: _plane_eval(pln_ref, n, o, v, D, want_normal),
-            "quad": lambda n: _quadric_eval(qbase_ref, qaxes_ref, qlo_ref,
-                                            qhi_ref, qoff_ref, qslab_ref,
-                                            qgt_ref, qgp_ref,
-                                            n, o, v, D, A, meta.b_gate,
-                                            want_normal),
-        }
+        def make_evals(o, v, normals):
+            return {
+                "sph": lambda n: _sphere_eval(sph_ref, n, o, v, D, normals),
+                "pln": lambda n: _plane_eval(pln_ref, n, o, v, D, normals),
+                "quad": lambda n: _quadric_eval(
+                    qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
+                    qslab_ref, qgt_ref, qgp_ref, n, o, v, D, A,
+                    meta.b_gate, normals),
+            }
+
+        evals = make_evals(o, v, want_normal)
+
+        def gid_fam(gid):
+            """Static global id -> (family key, local row)."""
+            if gid < meta.n_sph:
+                return "sph", gid
+            if gid < meta.n_sph + meta.n_pln:
+                return "pln", gid - meta.n_sph
+            return "quad", gid - meta.n_sph - meta.n_pln
+
+        def first_rank_pass(sev, limit):
+            """Lowest shadow rank among INFINITE leaves hit within the
+            limit (the C's scan-order break, object.c:736-738) -- the
+            infinite leaves are statically known, so this unrolls over
+            the usual 0-2 of them instead of scanning every candidate."""
+            fr = jnp.full(shape, NOTINF, jnp.int32)
+            for gid, rank in meta.inf_gids:
+                name, loc = gid_fam(gid)
+                t_e, _ = sev[name](loc)
+                within = (t_e < limit) & (t_e < BIG * 0.5)
+                fr = jnp.where(within, jnp.minimum(fr, jnp.int32(rank)), fr)
+            return fr
 
         def families(visit):
             for name, fam_i, gid0 in fam_meta:
@@ -395,26 +438,14 @@ def _make_kernel(meta: PallasMeta, mode: str):
                     families(vprop)
                 for j in range(N_PROPS):
                     p_ref[j] = pstate["p"][j]
+
         else:
             limit = aux_ref[0]
             # pass 1: first (lowest) rank among infinite objects hit within
             # the limit (the C's trace() breaks at the first such object in
-            # scan order; compile assigns ranks in that order)
-            first = {"rank": jnp.full(shape, NOTINF, jnp.int32)}
-
-            def visit1(count, gid0, ev, row):
-                def body(k, fr):
-                    n = row(k)
-                    t, _ = ev(k)
-                    rank = rank_ref[gid0 + n]
-                    within = (t < limit) & (t < BIG * 0.5)
-                    return jnp.where(within & (rank < NOTINF),
-                                     jnp.minimum(fr, rank), fr)
-
-                first["rank"] = jax.lax.fori_loop(0, count, body,
-                                                  first["rank"])
-
-            families(visit1)
+            # scan order; compile assigns ranks in that order) -- unrolled
+            # over the statically known infinite leaves
+            first = {"rank": first_rank_pass(evals, limit)}
 
             # pass 2: min over finite objects + infinite objects with
             # rank <= first_rank
@@ -443,6 +474,247 @@ def _make_kernel(meta: PallasMeta, mode: str):
             m_ref[...] = st["m1"][None]
 
     return kernel
+
+
+def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool):
+    """The fused shading kernel: given the closest-hit pass's winner
+    (t / mat / normal / material props) it reruns apply_lights
+    (ndt.c:71-326) entirely in-registers -- each light's shadow trace over
+    its XLA-precomputed per-tile cull list, the two-sided diffuse, the C's
+    mag-0.5 specular -- and emits the finished local color.  This replaces
+    one shadow kernel launch + one occlusion launch + the whole elementwise
+    XLA shading chain per bounce (the chain, not the traces, dominated the
+    unfused profile).
+
+    ``fused``: per-light kind chars 'p'/'s'/'d'; ``fused_spec`` mirrors -p.
+    Light table layout: see trace.fused_light_info."""
+    D = meta.dim
+    A = meta.a_quad
+    NOTINF = (1 << 30) - 1
+    nf = len(fused)
+
+    def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
+               qoff_ref, qslab_ref, qgt_ref, qgp_ref, mat_ref, rank_ref,
+               bnd_ref, prop_ref, lvec_ref, *rest):
+        lists = rest[:nf]
+        counts = rest[nf:2 * nf]
+        o_ref, v_ref, t_ref, m_ref, n_ref, pr_ref, loc_ref = rest[2 * nf:]
+        o = [o_ref[d] for d in range(D)]
+        v = [v_ref[d] for d in range(D)]
+        t1s = t_ref[0]
+        m1s = m_ref[0]
+        nrm1 = [n_ref[d] for d in range(D)]
+        wc = [pr_ref[j] for j in range(3)]      # winner color
+        wr = [pr_ref[3 + j] for j in range(3)]  # winner reflectivity
+        wt = pr_ref[6]                          # winner transparent
+
+        fam_meta = []
+        if meta.n_sph:
+            fam_meta.append(("sph", 0, 0))
+        if meta.n_pln:
+            fam_meta.append(("pln", 1, meta.n_sph))
+        if meta.n_quad:
+            fam_meta.append(("quad", 2, meta.n_sph + meta.n_pln))
+
+        def make_evals(so, sv):
+            return {
+                "sph": lambda n: _sphere_eval(sph_ref, n, so, sv, D, False),
+                "pln": lambda n: _plane_eval(pln_ref, n, so, sv, D, False),
+                "quad": lambda n: _quadric_eval(
+                    qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
+                    qslab_ref, qgt_ref, qgp_ref, n, so, sv, D, A,
+                    meta.b_gate, False),
+            }
+
+        def gid_fam(gid):
+            if gid < meta.n_sph:
+                return "sph", gid
+            if gid < meta.n_sph + meta.n_pln:
+                return "pln", gid - meta.n_sph
+            return "quad", gid - meta.n_sph - meta.n_pln
+
+        def first_rank_pass(sev, limit):
+            # lowest rank among INFINITE leaves hit within the limit (the
+            # C's scan-order break, object.c:736-738), unrolled over the
+            # statically known infinite leaves (usually 0-2)
+            fr = jnp.full(t1s.shape, NOTINF, jnp.int32)
+            for gid, rank in meta.inf_gids:
+                name, loc = gid_fam(gid)
+                t_e, _ = sev[name](loc)
+                within = (t_e < limit) & (t_e < BIG * 0.5)
+                fr = jnp.where(within, jnp.minimum(fr, jnp.int32(rank)), fr)
+            return fr
+
+        def shadow_pass(sev, list_ref, cnt_ref, first_rank=None):
+            """Closest hit of this light's shadow rays over the tile's
+            XLA-culled survivor list (same structure as the trace pass)."""
+            t0 = jnp.full(t1s.shape, BIG, jnp.float32)
+            m0 = jnp.full(t1s.shape, -1, jnp.int32)
+            for name, fam_i, gid0 in fam_meta:
+                ev = sev[name]
+                cnt = cnt_ref[0, 0, fam_i]
+
+                def body(k, carry, ev=ev, gid0=gid0, list_ref=list_ref):
+                    t_acc, m_acc = carry
+                    n = list_ref[0, 0, gid0 + k] - gid0
+                    gid = gid0 + n
+                    t_e, _ = ev(n)
+                    if first_rank is not None:
+                        rank = rank_ref[gid]
+                        elig = (rank >= NOTINF) | (rank <= first_rank)
+                        t_e = jnp.where(elig, t_e, BIG)
+                    b = t_e < t_acc
+                    return (jnp.where(b, t_e, t_acc),
+                            jnp.where(b, mat_ref[gid], m_acc))
+
+                t0, m0 = jax.lax.fori_loop(0, cnt, body, (t0, m0),
+                                           unroll=_UNROLL)
+            return t0, m0
+
+        hitm = t1s < BIG * 0.5
+        p = [o[d] + t1s * v[d] for d in range(D)]
+        nn = sum(nrm1[d] * nrm1[d] for d in range(D))
+        nlen = jnp.sqrt(nn)
+        vdotn = sum(v[d] * nrm1[d] for d in range(D))
+        # rev_view = src - p = -t1s * v  (ndt.c:160-168)
+        rv_dot_n = -t1s * vdotn
+        # ambient: winner color * (scene ambient + ambient lights),
+        # precomputed into lvec[0:3] (ndt.c:89-111)
+        out_rgb = [wc[j] * lvec_ref[j] for j in range(3)]
+
+        off = 3
+        for li, lkind in enumerate(fused):
+            lcol = [lvec_ref[off + j] for j in range(3)]
+            lspec = [lvec_ref[off + 3 + j] for j in range(3)]
+            off += 6
+            if lkind == "d":
+                u = [lvec_ref[off + d] for d in range(D)]
+                off += D
+                # directional (ndt.c:230-249): from the surface, EPSILON
+                # off, against -unit(light dir); blocked by ANY hit
+                so = [p[d] - u[d] * EPSILON for d in range(D)]
+                sv = [0.0 - u[d] for d in range(D)]   # scalars
+                sev = make_evals(so, sv)
+                t_s, _ = shadow_pass(sev, lists[li], counts[li])
+                shadow_ok = ~(t_s < BIG * 0.5)
+                lvu = u                  # unit light_vec
+                ldist2 = 1.0             # ndt.c:252-258
+                rl_dot_n = -sum(u[d] * nrm1[d] for d in range(D))
+            else:
+                lp = [lvec_ref[off + d] for d in range(D)]
+                off += D
+                if lkind == "s":
+                    sdir = [lvec_ref[off + d] for d in range(D)]
+                    ccut = lvec_ref[off + D]
+                    off += D + 1
+                # point/spot (ndt.c:209-228): from the LIGHT toward the
+                # surface; lit iff the closest hit within dist+EPSILON is
+                # the same object within EPSILON of the shaded point
+                sd_ = [p[d] - lp[d] for d in range(D)]
+                dist2 = sum(x * x for x in sd_)
+                dist = jnp.sqrt(dist2)
+                inv = 1.0 / jnp.maximum(dist, 1e-20)
+                sv = [sd_[d] * inv for d in range(D)]
+                limit = dist + EPSILON
+                sev = make_evals(lp, sv)
+                fr = first_rank_pass(sev, limit)
+                t_s, m_s = shadow_pass(sev, lists[li], counts[li],
+                                       first_rank=fr)
+                d2 = sum((lp[d] + t_s * sv[d] - p[d]) ** 2
+                         for d in range(D))
+                shadow_ok = ((t_s < BIG * 0.5) & (m_s == m1s)
+                             & (d2 <= EPSILON * EPSILON))
+                if lkind == "s":   # cone (ndt.c:201-207)
+                    cosang = sum(sdir[d] * sv[d] for d in range(D))
+                    shadow_ok &= cosang >= ccut
+                lvu = sv
+                ldist2 = dist2
+                rl_dot_n = -sum(sv[d] * nrm1[d] for d in range(D))
+
+            # two-sided test (ndt.c:160-168)
+            lit = (rl_dot_n * rv_dot_n > 0.0) & shadow_ok & hitm
+            # diffuse |cos|/dist^2, opaque only (ndt.c:261-273)
+            ndotl = sum(nrm1[d] * lvu[d] for d in range(D))
+            cos_a = jnp.abs(ndotl) / jnp.where(nlen > EPSILON, nlen, 1.0)
+            scale = cos_a / ldist2
+            dmask = lit & (wt <= 0.0)
+            for j in range(3):
+                out_rgb[j] = out_rgb[j] + jnp.where(
+                    dmask, wc[j] * lcol[j] * scale, 0.0)
+            if fused_spec:
+                # the C's specular: reflect the light direction with mag
+                # 0.5, dot the reverse view, ^50 (ndt.c:276-310)
+                coef = 1.5 * ndotl / nn
+                lr = [lvu[d] - coef * nrm1[d] for d in range(D)]
+                lrn = jnp.sqrt(sum(x * x for x in lr))
+                ok = lrn > EPSILON
+                lru = [jnp.where(ok, lr[d] / jnp.where(ok, lrn, 1.0),
+                                 lr[d]) for d in range(D)]
+                rv = jnp.maximum(0.0, -sum(lru[d] * v[d] for d in range(D)))
+                rvn = _ipow(rv, SPECULAR_POWER)
+                for j in range(3):
+                    out_rgb[j] = out_rgb[j] + jnp.where(
+                        lit, wr[j] * lspec[j] * rvn, 0.0)
+        for j in range(3):
+            loc_ref[j] = out_rgb[j]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "fused", "fused_spec",
+                                             "interpret"))
+def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
+                 meta: PallasMeta, fused: tuple, fused_spec: bool = True,
+                 interpret: bool = False):
+    """Fused apply_lights over the closest-hit pass's outputs.
+
+    o, v: [R, D] f32 (R a multiple of RT); t [R]; mat [R] i32; nrm [R, D];
+    props [R, N_PROPS]; lvec: flat light table; culls: per fused light
+    (lists [n_tiles, N], counts [n_tiles, 3]) over that light's shadow
+    rays (from trace.fused_light_info / cull_lists).
+    Returns local color [R, 3]."""
+    R, D = o.shape
+    assert R % RT == 0, R
+    nf = len(fused)
+    o_t = _to_tiles(o, R)
+    v_t = _to_tiles(v, R)
+    t_t = t.reshape(1, R // LANE, LANE)
+    m_t = mat.reshape(1, R // LANE, LANE)
+    n_t = _to_tiles(nrm, R)
+    p_t = props.T.reshape(N_PROPS, R // LANE, LANE)
+
+    rows = RT // LANE
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((D_PAD, rows, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    one_spec = pl.BlockSpec((1, rows, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    props_spec = pl.BlockSpec((N_PROPS, rows, LANE), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    loc_spec = pl.BlockSpec((3, rows, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    n_total = max(meta.n_sph + meta.n_pln + meta.n_quad, 1)
+    list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    lists_in = [c[0][:, None, :] for c in culls]
+    counts_in = [c[1][:, None, :] for c in culls]
+
+    kernel = _make_shade_kernel(meta, fused, fused_spec)
+    out = pl.pallas_call(
+        kernel,
+        grid=(R // RT,),
+        in_specs=([smem()] * 15 + [list_spec] * nf + [cnt_spec] * nf
+                  + [ray_spec, ray_spec, one_spec, one_spec, ray_spec,
+                     props_spec]),
+        out_specs=loc_spec,
+        out_shape=jax.ShapeDtypeStruct((3, R // LANE, LANE), jnp.float32),
+        interpret=interpret,
+    )(*params, lvec.astype(jnp.float32), *lists_in, *counts_in,
+      o_t, v_t, t_t, m_t.astype(jnp.int32), n_t, p_t)
+    return out.reshape(3, R).T
 
 
 def pack_params(scene):
@@ -533,6 +805,11 @@ def pack_params(scene):
          np.asarray(scene.transparent, f32)[:, None],
          np.asarray(scene.refract_index, f32)[:, None]], axis=1)
 
+    inf_rows = np.nonzero(rank_tab < NOT_INFINITE)[0]
+    inf_gids = tuple(sorted(
+        ((int(g), int(rank_tab[g])) for g in inf_rows),
+        key=lambda gr: gr[1]))
+
     meta = PallasMeta(
         dim=D,
         n_sph=0 if sph is None else sph.center.shape[0],
@@ -540,6 +817,7 @@ def pack_params(scene):
         n_quad=0 if quad is None else quad.base.shape[0],
         a_quad=A,
         b_gate=B,
+        inf_gids=inf_gids,
     )
     return meta, (sph_tab.ravel(), pln_tab.ravel(), qbase.ravel(),
                   qaxes.ravel(), qlo.ravel(), qhi.ravel(), qoff.ravel(),

@@ -60,7 +60,13 @@ def apply_lights(scene: SceneData, src, look, tr, active,
     """Return the local (pre-reflection) color [R, 3] for rays with a valid
     hit.  ``src`` is the ray origin, ``look`` the unit ray direction,
     ``tr`` the TraceResult (hit point, normal, winner material).
-    ``specular=False`` replicates the -p flag (ndt.c:41, 280)."""
+    ``specular=False`` replicates the -p flag (ndt.c:41, 280).
+
+    Scenes whose lights are all point/spot/directional normally bypass
+    this function entirely on the TPU path: the megakernel computes the
+    local color in-registers (render/pallas_trace.py fused mode), and this
+    XLA implementation remains the reference (and the area-light and
+    f64-golden path)."""
     hit_pt, normal, mat_id = tr.point, tr.normal, tr.mat_id
     color = tr.color
     reflect_c = tr.reflect
@@ -112,7 +118,7 @@ def apply_lights(scene: SceneData, src, look, tr, active,
     # ---- batched shadow traces (one kernel instance per category) --------
     lit = {}
     if pointish:
-        o_b = jnp.concatenate([p[2] for p in pointish])      # from light
+        o_b = jnp.concatenate([p[2] for p in pointish])  # from light
         v_b = jnp.concatenate([p[3] for p in pointish])
         lim_b = jnp.concatenate(
             [jnp.sqrt(p[4]) + EPSILON for p in pointish])
@@ -142,7 +148,8 @@ def apply_lights(scene: SceneData, src, look, tr, active,
         # reference shows ambient only.  Genuine surface re-hits compute
         # t <= EPSILON and are rejected by every kernel's t > EPSILON rule.
         sh = occlusion_trace(scene, o_b, v_b, live=live_b)
-        for k, (li, light, rev_light, side_ok) in enumerate(directional):
+        for k, (li, light, rev_light, side_ok) in \
+                enumerate(directional):
             s_hit = sh.hit[k * R:(k + 1) * R]
             lit[li] = side_ok & active & (~s_hit)            # ndt.c:230-249
 

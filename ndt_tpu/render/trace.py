@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ndt_tpu import mathnd
-from ndt_tpu.constants import BIG
+from ndt_tpu.constants import BIG, EPSILON
 from ndt_tpu.render import intersect
 from ndt_tpu.scene.compile import NOT_INFINITE, SceneData
 
@@ -113,6 +113,132 @@ def _merge_extras(scene, o, v, t, mat, nrm, props):
                                  props["ior"]),
             }
     return t, mat, nrm, props
+
+
+def fused_light_info(scene):
+    """(kind_chars, light_table) for scenes whose whole apply_lights pass
+    (shadow traces + diffuse + specular, ndt.c:71-326) can run inside the
+    closest-hit megakernel, else None.
+
+    Fusable: single SMEM chunk (the in-kernel shadow pass must see every
+    object), no facet/hfacet leaves (those are evaluated outside the
+    kernel), and only point/spot/directional lights (area lights sample a
+    random surface point per shading event, ndt.c:116-147, which would
+    have to travel to the kernel as a full per-ray array).
+
+    Table layout (flat f32): [ambient_total(3)] then per light
+    [color(3), spec_color(3), kind-specific: pos(D) for 'p';
+    pos(D), unit_dir(D), cos_cutoff(1) for 's'; unit_dir(D) for 'd']."""
+    if scene.pmeta is None or len(scene.pmeta) != 1:
+        return None
+    if scene.facets is not None or scene.hfacets is not None:
+        return None
+    f32 = jnp.float32
+    amb = jnp.asarray(scene.ambient, f32)
+    for light in scene.lights:
+        if light.kind == 0:
+            amb = amb + jnp.asarray(light.color, f32)   # ndt.c:106-111
+    kinds, parts = [], [amb]
+    for light in scene.lights:
+        if light.kind == 0:
+            continue
+        if light.kind in (4, 5):                  # disk/rect area lights
+            return None
+        lcol = jnp.asarray(light.color, f32)
+        spec3 = lcol / jnp.max(lcol)              # ndt.c:299-301
+        parts += [lcol, spec3]
+        if light.kind == 2:                       # directional
+            kinds.append("d")
+            parts.append(mathnd.unitize(light.dir).astype(f32))
+        elif light.kind == 3:                     # spot
+            kinds.append("s")
+            udir = mathnd.unitize(light.dir).astype(f32)
+            # cone test as a cosine cutoff; degenerate axis or >=180deg
+            # cone always passes (mathnd.angle returns -1, ndt.c:201-207)
+            deg = jnp.asarray(light.angle_deg, f32)
+            cut = jnp.where(
+                (mathnd.l2norm(light.dir.astype(f32)) <= jnp.float32(
+                    1e-4)) | (deg >= 180.0),
+                jnp.float32(-2.0), jnp.cos(deg * jnp.float32(np.pi / 180)))
+            parts += [light.pos.astype(f32), udir, cut[None]]
+        else:                                     # point
+            kinds.append("p")
+            parts.append(light.pos.astype(f32))
+    if not kinds:
+        return None
+    return tuple(kinds), jnp.concatenate(
+        [jnp.ravel(p).astype(f32) for p in parts])
+
+
+def trace_fused(scene: SceneData, o, v, live=None, specular=True):
+    """Closest hit + the complete local shading in TWO kernel launches
+    (pallas path only; caller must have checked fused_light_info): the
+    closest-hit megakernel, then the fused shading kernel, whose per-light
+    shadow rays are culled by the same vectorized XLA interval pass the
+    trace uses (an in-kernel per-object cull would serialize ~100 interval
+    tests per tile onto the scalar core -- measured slower than not fusing
+    at all).  Only the per-tile CULL runs in XLA; every per-ray shading
+    term runs in-registers in the kernel.
+
+    Returns (TraceResult, local [R, 3]) -- ``local`` is apply_lights'
+    result computed in-registers (garbage on miss/dead lanes; callers mask
+    with tr.hit as they already do for the XLA path)."""
+    from ndt_tpu.render.pallas_trace import (RT, cull_lists, pallas_shade,
+                                             pallas_trace)
+
+    mode = _pallas_mode(scene, o)
+    assert mode is not None
+    kinds, lvec = fused_light_info(scene)
+    interpret = mode == "interpret"
+    meta, tables = scene.pmeta[0], scene.ptables[0]
+
+    o_p, v_p, R = _pad_rays(o, v, RT)
+    aux = jnp.full((o_p.shape[0],), -1, jnp.int32)
+    live_p = _pad_live(live, o_p.shape[0], R)
+    t, mat, nrm, props = pallas_trace(tables, o_p, v_p, aux, meta,
+                                      "closest", interpret=interpret,
+                                      live=live_p)
+
+    # per-light shadow-ray cull lists (vectorized XLA interval arithmetic,
+    # the exact pass the trace kernel's lists come from)
+    hitm = t < BIG * 0.5
+    cull_live = hitm if live_p is None else (hitm & live_p)
+    p = o_p + v_p * t[:, None]
+    D = o.shape[1]
+    culls = []
+    off = 3
+    for kind in kinds:
+        off += 6                              # lcolor + spec color
+        if kind == "d":
+            u = lvec[off:off + D]
+            off += D
+            o_s = p - u[None, :] * EPSILON
+            v_s = jnp.broadcast_to(-u[None, :], p.shape)
+        else:
+            lp = lvec[off:off + D]
+            off += D + (D + 1 if kind == "s" else 0)
+            sd = p - lp[None, :]
+            inv = 1.0 / jnp.maximum(
+                jnp.sqrt((sd * sd).sum(-1, keepdims=True)), 1e-20)
+            o_s = jnp.broadcast_to(lp[None, :], p.shape)
+            v_s = sd * inv
+        culls.append(cull_lists(tables, o_s, v_s, meta, live=cull_live))
+
+    local = pallas_shade(tables, o_p, v_p, t, mat, nrm, props, lvec,
+                         tuple(culls), meta, kinds, fused_spec=specular,
+                         interpret=interpret)
+
+    t, mat, nrm = t[:R], mat[:R], nrm[:R]
+    local = local[:R]
+    hit = t < BIG * 0.5
+    mat = jnp.where(hit, mat, -1)
+    props = props[:R]
+    props = {"color": props[:, 0:3], "reflect": props[:, 3:6],
+             "transparent": props[:, 6], "ior": props[:, 7]}
+    point = o + v * t[:, None]
+    tr = TraceResult(t=t, hit=hit, mat_id=mat, point=point,
+                     normal=nrm, **props)
+    return tr, local
 
 
 def _pallas_closest(scene, o, v, mode, exclude_mat=None,

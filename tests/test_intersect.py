@@ -259,3 +259,62 @@ def test_f32_f64_agreement_far_camera():
     both = h64 & h32
     np.testing.assert_allclose(np.asarray(tr32.t)[both],
                                np.asarray(tr64.t)[both], atol=2e-3)
+
+
+@pytest.mark.parametrize("dim,seed", [(3, 11), (4, 22), (5, 33)])
+def test_pallas_kernel_fuzz_random_scenes(dim, seed):
+    """Fuzz the megakernel against the jnp reference kernels on random
+    scenes (mixed object types, random parameters): same winners within
+    f32 refinement tolerance, same materials, same shadow truncation."""
+    import jax
+
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.render.engine import RenderOptions, gen_rays
+    from ndt_tpu.scene.compile import compile_scene
+    from ndt_tpu.scene.model import Scene
+    from ndt_tpu.scenes import get_scene
+
+    mod = get_scene("random")
+    scn = Scene("random", dim)
+    mod.scene_setup(scn, dim, seed % 3, 300, "40")
+    if dim > 4:
+        # random.c only sets the first 4 camera coords, so in 5-D+ the
+        # object cloud (all D coords in [2,12]) sits off the visible
+        # 3-flat and nothing is hit (faithful to the C).  Re-aim through
+        # the cloud in full-D so the kernels have real hits to compare.
+        scn.cam.set_aim(np.full(dim, 30.0), np.full(dim, 7.0), None, 0.0)
+    scn.cam.aim()
+    sd = compile_scene(scn, np.float32)
+
+    cd = scn.cam.data(np.float32)
+    opts = RenderOptions(width=64, height=48, samples=1, tile=64 * 48)
+    xs = np.linspace(-0.5, 0.5, 64, dtype=np.float32)
+    ys = np.linspace(-0.4, 0.4, 48, dtype=np.float32)
+    xg, yg = np.meshgrid(xs, ys)
+    o, v = gen_rays(cd, jnp.asarray(xg.ravel()), jnp.asarray(yg.ravel()),
+                    jax.random.PRNGKey(seed), opts, "center", False, False)
+
+    results = {}
+    for impl in ("pallas-interpret", "jnp"):
+        trace_mod.set_trace_impl(impl)
+        try:
+            tr = trace_mod.trace(sd, o, v, need_normal=True)
+            sh = trace_mod.shadow_trace(
+                sd, o, v, jnp.full(o.shape[0], 200.0, np.float32))
+        finally:
+            trace_mod.set_trace_impl("auto")
+        results[impl] = (np.asarray(tr.hit), np.asarray(tr.t),
+                         np.asarray(tr.mat_id), np.asarray(sh.hit),
+                         np.asarray(sh.mat_id))
+
+    hp, tp, mp, shp, smp = results["pallas-interpret"]
+    hj, tj, mj, shj, smj = results["jnp"]
+    assert hp.sum() > 50                     # the scene is actually in view
+    assert (hp == hj).mean() > 0.995         # knife edges may differ
+    both = hp & hj
+    same_win = mp[both] == mj[both]
+    assert same_win.mean() > 0.995           # ties at equal t may differ
+    np.testing.assert_allclose(tp[both][same_win], tj[both][same_win],
+                               rtol=5e-4, atol=5e-3)
+    sboth = shp & shj
+    assert (smp[sboth] == smj[sboth]).mean() > 0.995

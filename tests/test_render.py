@@ -341,3 +341,103 @@ def test_depth_of_field_blurs_far_objects():
     blurred = green_extent(1.5)
     assert sharp > 0
     assert blurred > sharp * 1.2
+
+
+def test_fused_inkernel_shading_matches_unfused():
+    """The megakernel's fused mode (render/pallas_trace.py) computes the
+    whole apply_lights pass -- per-light shadow traces, two-sided diffuse,
+    the C's mag-0.5 specular (ndt.c:71-326) -- in-registers.  Its frames
+    must match the unfused pallas path (kernel + XLA shading) and the jnp
+    reference on a scene with point + spot + directional lights and
+    reflective bounces."""
+    from ndt_tpu.render import engine
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.render.engine import gen_rays, render_rays
+    from ndt_tpu.render.trace import fused_light_info
+    from ndt_tpu.scene.model import LightType
+
+    scn = _small_scene()
+    spot = scn.add_light(LightType.SPOT)
+    spot.pos = np.array([-5.0, 8.0, 4.0, 0])
+    spot.dir = np.array([0.5, -1.0, 0.5, 0])
+    spot.angle_deg = 30.0
+    spot.set_color(60, 60, 60)
+    sun = scn.add_light(LightType.DIRECTIONAL)
+    sun.dir = np.array([0.3, -1.0, 0.2, 0])
+    sun.set_color(0.5, 0.5, 0.4)
+    cyl = scn.add_object("cylinder", "cyl")
+    cyl.add_pos(np.array([-2.0, -1.0, 8.0, 0]))
+    cyl.add_pos(np.array([2.0, 1.0, 9.0, 0]))
+    cyl.add_size(0.6).add_flag(1)
+    cyl.set_color(0.9, 0.5, 0.2)
+    scn.cam.aim()
+
+    sd = jax.device_put(compile_scene(scn, np.float32))
+    assert fused_light_info(sd) is not None
+    cd = scn.cam.data(np.float32)
+    W, H = 64, 64
+    opts = RenderOptions(width=W, height=H, samples=1, tile=W * H,
+                         compact=0)
+    xs = np.linspace(-0.5, 0.5, W, dtype=np.float32)
+    ys = np.linspace(-0.5, 0.5, H, dtype=np.float32)
+    xg, yg = np.meshgrid(xs, ys)
+    key = jax.random.PRNGKey(0)
+    o, v = gen_rays(cd, jnp.asarray(xg.ravel()), jnp.asarray(yg.ravel()),
+                    key, opts, "center", False, False)
+
+    runs = {}
+    old = engine._FUSED_SHADOW
+    try:
+        for name, impl, fuse in (("jnp", "jnp", False),
+                                 ("unfused", "pallas-interpret", False),
+                                 ("fused", "pallas-interpret", True)):
+            trace_mod.set_trace_impl(impl)
+            engine._FUSED_SHADOW = fuse
+            runs[name] = np.asarray(render_rays(sd, o, v, key, opts)[0])
+    finally:
+        trace_mod.set_trace_impl("auto")
+        engine._FUSED_SHADOW = old
+
+    # shading boundary tests (shadow same-point EPSILON, spot cone) may
+    # flip on a knife-edge pixel because the kernel's in-register hit
+    # point and XLA's differ in f32 op order -- allow isolated pixels
+    d = np.abs(runs["fused"] - runs["unfused"])
+    assert (d > 2e-5).any(axis=1).mean() < 0.002, d.max()
+    assert d.max() < 5e-3
+    diff = np.abs(runs["fused"] - runs["jnp"])
+    assert (diff > 1e-3).any(axis=1).mean() < 0.002, diff.max()
+
+
+def test_fused_shading_specular_toggle():
+    """-p (specular off) must flow into the fused kernel too."""
+    from ndt_tpu.render import engine
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.render.engine import gen_rays, render_rays
+
+    scn = _small_scene()
+    scn.cam.aim()
+    sd = jax.device_put(compile_scene(scn, np.float32))
+    cd = scn.cam.data(np.float32)
+    opts_s = RenderOptions(width=32, height=32, samples=1, tile=1024,
+                           compact=0)
+    opts_p = dataclasses.replace(opts_s, specular=False)
+    xs = np.linspace(-0.5, 0.5, 32, dtype=np.float32)
+    xg, yg = np.meshgrid(xs, xs)
+    key = jax.random.PRNGKey(0)
+    o, v = gen_rays(cd, jnp.asarray(xg.ravel()), jnp.asarray(yg.ravel()),
+                    key, opts_s, "center", False, False)
+    old = engine._FUSED_SHADOW
+    try:
+        trace_mod.set_trace_impl("pallas-interpret")
+        engine._FUSED_SHADOW = True
+        c_fs = np.asarray(render_rays(sd, o, v, key, opts_s)[0])
+        c_fp = np.asarray(render_rays(sd, o, v, key, opts_p)[0])
+        engine._FUSED_SHADOW = False
+        c_us = np.asarray(render_rays(sd, o, v, key, opts_s)[0])
+        c_up = np.asarray(render_rays(sd, o, v, key, opts_p)[0])
+    finally:
+        trace_mod.set_trace_impl("auto")
+        engine._FUSED_SHADOW = old
+    np.testing.assert_allclose(c_fs, c_us, atol=2e-5)
+    np.testing.assert_allclose(c_fp, c_up, atol=2e-5)
+    assert np.abs(c_fs - c_fp).max() > 1e-3   # specular actually differs
