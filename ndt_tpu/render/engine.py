@@ -185,6 +185,28 @@ def _chain_loop(scene, R, dt, opts):
         # dead lanes re-trace their stale (spatially coherent) ray; the
         # megakernel skips fully-dead tiles via the live mask and bounds
         # live tiles' culls over surviving lanes only
+        from ndt_tpu.render.trace import (_pallas_mode, fused_light_info,
+                                          trace_fused_step)
+
+        if (_FUSED_SHADOW and _pallas_mode(scene, o) is not None
+                and fused_light_info(scene) is not None):
+            # the whole bounce iteration (closest hit + apply_lights +
+            # node accumulation + mirror spawn) runs in two kernel
+            # launches; only the depth map, ray accounting and the
+            # max-depth gate stay in XLA (they involve loop scalars)
+            t, o2, v2, w2, f2, c2, nxt = trace_fused_step(
+                scene, o, v, w, frac, color, live=active,
+                specular=opts.specular)
+            hit_raw = t < BIG * 0.5
+            hit = hit_raw & active
+            nrays = (nrays + active.sum()
+                     + hit.sum() * n_shadow_lights).astype(nrays.dtype)
+            key, _ = jax.random.split(key)
+            prim_depth = jnp.where(hit_raw & (t > EPSILON), 1.0 / t, 0.0)
+            depth = jnp.where(it == 0, prim_depth.astype(dt), depth)
+            nxt = nxt & (it + 2 <= max_depth)
+            return (it + 1, nxt, o2, v2, w2, f2, c2, depth, nrays, key)
+
         tr, fused_local = _trace_with_lights(scene, o, v, active,
                                              opts.specular)
         hit = tr.hit & active

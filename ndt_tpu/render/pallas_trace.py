@@ -50,7 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ndt_tpu.constants import BIG, EPSILON, SPECULAR_POWER
+from ndt_tpu.constants import (BIG, EPSILON, MIN_PIXEL_FRAC,
+                               SPECULAR_POWER)
 
 
 def _ipow(x, n):
@@ -476,7 +477,8 @@ def _make_kernel(meta: PallasMeta, mode: str):
     return kernel
 
 
-def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool):
+def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
+                       carry: bool = False):
     """The fused shading kernel: given the closest-hit pass's winner
     (t / mat / normal / material props) it reruns apply_lights
     (ndt.c:71-326) entirely in-registers -- each light's shadow trace over
@@ -498,7 +500,13 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool):
                bnd_ref, prop_ref, lvec_ref, *rest):
         lists = rest[:nf]
         counts = rest[nf:2 * nf]
-        o_ref, v_ref, t_ref, m_ref, n_ref, pr_ref, loc_ref = rest[2 * nf:]
+        rest = rest[2 * nf:]
+        if carry:
+            (o_ref, v_ref, t_ref, m_ref, n_ref, pr_ref, w_ref, f_ref,
+             c_ref, lv_ref, o2_ref, v2_ref, w2_ref, f2_ref, c2_ref,
+             nx_ref) = rest
+        else:
+            o_ref, v_ref, t_ref, m_ref, n_ref, pr_ref, loc_ref = rest
         o = [o_ref[d] for d in range(D)]
         v = [v_ref[d] for d in range(D)]
         t1s = t_ref[0]
@@ -579,10 +587,10 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool):
         # rev_view = src - p = -t1s * v  (ndt.c:160-168)
         rv_dot_n = -t1s * vdotn
         # ambient: winner color * (scene ambient + ambient lights),
-        # precomputed into lvec[0:3] (ndt.c:89-111)
+        # precomputed into lvec[0:3] (ndt.c:89-111); lvec[3:6] = background
         out_rgb = [wc[j] * lvec_ref[j] for j in range(3)]
 
-        off = 3
+        off = 6
         for li, lkind in enumerate(fused):
             lcol = [lvec_ref[off + j] for j in range(3)]
             lspec = [lvec_ref[off + 3 + j] for j in range(3)]
@@ -655,8 +663,44 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool):
                 for j in range(3):
                     out_rgb[j] = out_rgb[j] + jnp.where(
                         lit, wr[j] * lspec[j] * rvn, 0.0)
+        if not carry:
+            for j in range(3):
+                loc_ref[j] = out_rgb[j]
+            return
+
+        # ---- carry mode: the engine's whole bounce-loop arithmetic -------
+        # (chain-mode body of get_ray_color, ndt.c:329-419): accumulate the
+        # node color, spawn the mirror bounce, update weight/importance.
+        live = lv_ref[0] > 0.0
+        hit = hitm & live
+        contrib = jnp.maximum(jnp.maximum(wr[0], wr[1]), wr[2])  # ndt.c:393
+        refl_any = (wr[0] != 0.0) | (wr[1] != 0.0) | (wr[2] != 0.0)
         for j in range(3):
-            loc_ref[j] = out_rgb[j]
+            lw = (1.0 - wr[j]) if fused_spec else 1.0   # ndt.c:405-414
+            node = jnp.where(hit, lw * out_rgb[j],
+                             jnp.where(live, lvec_ref[3 + j], 0.0))
+            c2_ref[j] = c_ref[j] + w_ref[j] * node
+        # importance cutoff frac < 1/512 (ndt.c:336-337); the max-depth
+        # condition is ANDed on by the caller (it's a loop scalar)
+        nxt = (hit & (contrib > 0.0) & refl_any
+               & (f_ref[0] * contrib >= MIN_PIXEL_FRAC))
+        # mirror bounce v' = unitize(reflect(v, n, 1)) (vectNd.c:101-117)
+        coef2 = 2.0 * vdotn / nn
+        rf = [v[d] - coef2 * nrm1[d] for d in range(D)]
+        rfn = jnp.sqrt(sum(x * x for x in rf))
+        okn = rfn > EPSILON
+        rfu = [jnp.where(okn, rf[d] / jnp.where(okn, rfn, 1.0), rf[d])
+               for d in range(D)]
+        for d in range(D):
+            o2_ref[d] = jnp.where(nxt, p[d], o[d])
+            v2_ref[d] = jnp.where(nxt, rfu[d], v[d])
+        for d in range(D, D_PAD):
+            o2_ref[d] = jnp.zeros(t1s.shape, jnp.float32)
+            v2_ref[d] = jnp.zeros(t1s.shape, jnp.float32)
+        for j in range(3):
+            w2_ref[j] = jnp.where(nxt, w_ref[j] * wr[j], w_ref[j])
+        f2_ref[0] = jnp.where(nxt, f_ref[0] * contrib, f_ref[0])
+        nx_ref[0] = jnp.where(nxt, 1.0, 0.0)
 
     return kernel
 
@@ -665,14 +709,18 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool):
                                              "interpret"))
 def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
                  meta: PallasMeta, fused: tuple, fused_spec: bool = True,
-                 interpret: bool = False):
+                 interpret: bool = False, carry=None):
     """Fused apply_lights over the closest-hit pass's outputs.
 
     o, v: [R, D] f32 (R a multiple of RT); t [R]; mat [R] i32; nrm [R, D];
     props [R, N_PROPS]; lvec: flat light table; culls: per fused light
     (lists [n_tiles, N], counts [n_tiles, 3]) over that light's shadow
     rays (from trace.fused_light_info / cull_lists).
-    Returns local color [R, 3]."""
+
+    Without ``carry``: returns the local color [R, 3].  With
+    ``carry = (w [R,3], frac [R], color [R,3], live [R] bool)``: also runs
+    the chain-mode bounce arithmetic in-kernel and returns
+    (o' [R,D], v' [R,D], w' [R,3], frac' [R], color' [R,3], nxt [R] f32)."""
     R, D = o.shape
     assert R % RT == 0, R
     nf = len(fused)
@@ -689,10 +737,10 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
                             memory_space=pltpu.VMEM)
     one_spec = pl.BlockSpec((1, rows, LANE), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
+    rgb_spec = pl.BlockSpec((3, rows, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
     props_spec = pl.BlockSpec((N_PROPS, rows, LANE), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
-    loc_spec = pl.BlockSpec((3, rows, LANE), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
     n_total = max(meta.n_sph + meta.n_pln + meta.n_quad, 1)
     list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
@@ -702,19 +750,44 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
     lists_in = [c[0][:, None, :] for c in culls]
     counts_in = [c[1][:, None, :] for c in culls]
 
-    kernel = _make_shade_kernel(meta, fused, fused_spec)
+    base_in = [o_t, v_t, t_t, m_t.astype(jnp.int32), n_t, p_t]
+    base_spec = [ray_spec, ray_spec, one_spec, one_spec, ray_spec,
+                 props_spec]
+    sd1 = jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.float32)
+    sd3 = jax.ShapeDtypeStruct((3, R // LANE, LANE), jnp.float32)
+    sdD = jax.ShapeDtypeStruct((D_PAD, R // LANE, LANE), jnp.float32)
+    if carry is None:
+        extra_in, extra_spec = [], []
+        out_specs, out_shape = rgb_spec, sd3
+    else:
+        w, frac, color, live = carry
+        extra_in = [w.T.reshape(3, R // LANE, LANE),
+                    frac.reshape(1, R // LANE, LANE),
+                    color.T.reshape(3, R // LANE, LANE),
+                    live.astype(jnp.float32).reshape(1, R // LANE, LANE)]
+        extra_spec = [rgb_spec, one_spec, rgb_spec, one_spec]
+        out_specs = [ray_spec, ray_spec, rgb_spec, one_spec, rgb_spec,
+                     one_spec]
+        out_shape = [sdD, sdD, sd3, sd1, sd3, sd1]
+
+    kernel = _make_shade_kernel(meta, fused, fused_spec,
+                                carry=carry is not None)
     out = pl.pallas_call(
         kernel,
         grid=(R // RT,),
         in_specs=([smem()] * 15 + [list_spec] * nf + [cnt_spec] * nf
-                  + [ray_spec, ray_spec, one_spec, one_spec, ray_spec,
-                     props_spec]),
-        out_specs=loc_spec,
-        out_shape=jax.ShapeDtypeStruct((3, R // LANE, LANE), jnp.float32),
+                  + base_spec + extra_spec),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*params, lvec.astype(jnp.float32), *lists_in, *counts_in,
-      o_t, v_t, t_t, m_t.astype(jnp.int32), n_t, p_t)
-    return out.reshape(3, R).T
+      *base_in, *extra_in)
+    if carry is None:
+        return out.reshape(3, R).T
+    o2, v2, w2, f2, c2, nxt = out
+    return (o2[:D].reshape(D, R).T, v2[:D].reshape(D, R).T,
+            w2.reshape(3, R).T, f2.reshape(R), c2.reshape(3, R).T,
+            nxt.reshape(R))
 
 
 def pack_params(scene):

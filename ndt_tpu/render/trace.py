@@ -126,8 +126,8 @@ def fused_light_info(scene):
     random surface point per shading event, ndt.c:116-147, which would
     have to travel to the kernel as a full per-ray array).
 
-    Table layout (flat f32): [ambient_total(3)] then per light
-    [color(3), spec_color(3), kind-specific: pos(D) for 'p';
+    Table layout (flat f32): [ambient_total(3), background(3)] then per
+    light [color(3), spec_color(3), kind-specific: pos(D) for 'p';
     pos(D), unit_dir(D), cos_cutoff(1) for 's'; unit_dir(D) for 'd']."""
     if scene.pmeta is None or len(scene.pmeta) != 1:
         return None
@@ -138,7 +138,7 @@ def fused_light_info(scene):
     for light in scene.lights:
         if light.kind == 0:
             amb = amb + jnp.asarray(light.color, f32)   # ndt.c:106-111
-    kinds, parts = [], [amb]
+    kinds, parts = [], [amb, jnp.asarray(scene.bg, f32)]
     for light in scene.lights:
         if light.kind == 0:
             continue
@@ -170,6 +170,82 @@ def fused_light_info(scene):
         [jnp.ravel(p).astype(f32) for p in parts])
 
 
+def _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p):
+    """Per-light shadow-ray cull lists (vectorized XLA interval arithmetic,
+    the exact pass the trace kernel's lists come from): each light's shadow
+    ray set is derived from the closest-hit distances, culled per tile, and
+    the compact lists feed the fused shade kernel's SMEM."""
+    from ndt_tpu.render.pallas_trace import cull_lists
+
+    hitm = t < BIG * 0.5
+    cull_live = hitm if live_p is None else (hitm & live_p)
+    p = o_p + v_p * t[:, None]
+    D = o_p.shape[1]
+    culls = []
+    off = 6                                   # ambient(3) + background(3)
+    for kind in kinds:
+        off += 6                              # lcolor + spec color
+        if kind == "d":
+            u = lvec[off:off + D]
+            off += D
+            o_s = p - u[None, :] * EPSILON
+            v_s = jnp.broadcast_to(-u[None, :], p.shape)
+        else:
+            lp = lvec[off:off + D]
+            off += D + (D + 1 if kind == "s" else 0)
+            sd = p - lp[None, :]
+            inv = 1.0 / jnp.maximum(
+                jnp.sqrt((sd * sd).sum(-1, keepdims=True)), 1e-20)
+            o_s = jnp.broadcast_to(lp[None, :], p.shape)
+            v_s = sd * inv
+        culls.append(cull_lists(tables, o_s, v_s, meta, live=cull_live))
+    return tuple(culls)
+
+
+def trace_fused_step(scene: SceneData, o, v, w, frac, color, live=None,
+                     specular=True):
+    """One whole chain-mode bounce iteration in two kernel launches: the
+    closest-hit megakernel, then the shade kernel in CARRY mode, which --
+    beyond the fused apply_lights -- also folds in the engine's bounce-loop
+    arithmetic (get_ray_color's accumulation and reflection spawn,
+    ndt.c:329-419): node color accumulation into ``color``, the mirror
+    bounce direction, and the weight/importance updates, all in-registers.
+    The ~25 elementwise XLA passes over the ray batch that used to follow
+    every bounce collapse into kernel I/O.
+
+    Returns (t, o', v', w', frac', color', nxt) -- ``nxt`` excludes the
+    max-depth condition (the caller ANDs it; a stale carry behind a false
+    ``nxt`` is never read)."""
+    from ndt_tpu.render.pallas_trace import RT, pallas_shade, pallas_trace
+
+    mode = _pallas_mode(scene, o)
+    assert mode is not None
+    kinds, lvec = fused_light_info(scene)
+    interpret = mode == "interpret"
+    meta, tables = scene.pmeta[0], scene.ptables[0]
+
+    R = o.shape[0]
+    o_p, v_p, _ = _pad_rays(o, v, RT)
+    pad = o_p.shape[0] - R
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros((pad, 3), w.dtype)])
+        frac = jnp.concatenate([frac, jnp.zeros((pad,), frac.dtype)])
+        color = jnp.concatenate([color, jnp.zeros((pad, 3), color.dtype)])
+    aux = jnp.full((o_p.shape[0],), -1, jnp.int32)
+    live_p = _pad_live(live, o_p.shape[0], R)
+    t, mat, nrm, props = pallas_trace(tables, o_p, v_p, aux, meta,
+                                      "closest", interpret=interpret,
+                                      live=live_p)
+    culls = _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p)
+    live_in = (jnp.ones_like(t, dtype=bool) if live_p is None else live_p)
+    o2, v2, w2, f2, c2, nxt = pallas_shade(
+        tables, o_p, v_p, t, mat, nrm, props, lvec, culls, meta, kinds,
+        fused_spec=specular, interpret=interpret,
+        carry=(w, frac, color, live_in))
+    return (t[:R], o2[:R], v2[:R], w2[:R], f2[:R], c2[:R],
+            nxt[:R] > 0.5)
+
+
 def trace_fused(scene: SceneData, o, v, live=None, specular=True):
     """Closest hit + the complete local shading in TWO kernel launches
     (pallas path only; caller must have checked fused_light_info): the
@@ -199,33 +275,9 @@ def trace_fused(scene: SceneData, o, v, live=None, specular=True):
                                       "closest", interpret=interpret,
                                       live=live_p)
 
-    # per-light shadow-ray cull lists (vectorized XLA interval arithmetic,
-    # the exact pass the trace kernel's lists come from)
-    hitm = t < BIG * 0.5
-    cull_live = hitm if live_p is None else (hitm & live_p)
-    p = o_p + v_p * t[:, None]
-    D = o.shape[1]
-    culls = []
-    off = 3
-    for kind in kinds:
-        off += 6                              # lcolor + spec color
-        if kind == "d":
-            u = lvec[off:off + D]
-            off += D
-            o_s = p - u[None, :] * EPSILON
-            v_s = jnp.broadcast_to(-u[None, :], p.shape)
-        else:
-            lp = lvec[off:off + D]
-            off += D + (D + 1 if kind == "s" else 0)
-            sd = p - lp[None, :]
-            inv = 1.0 / jnp.maximum(
-                jnp.sqrt((sd * sd).sum(-1, keepdims=True)), 1e-20)
-            o_s = jnp.broadcast_to(lp[None, :], p.shape)
-            v_s = sd * inv
-        culls.append(cull_lists(tables, o_s, v_s, meta, live=cull_live))
-
+    culls = _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p)
     local = pallas_shade(tables, o_p, v_p, t, mat, nrm, props, lvec,
-                         tuple(culls), meta, kinds, fused_spec=specular,
+                         culls, meta, kinds, fused_spec=specular,
                          interpret=interpret)
 
     t, mat, nrm = t[:R], mat[:R], nrm[:R]
