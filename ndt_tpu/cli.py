@@ -85,6 +85,16 @@ def build_argparser():
     p.add_argument("-w", dest="whitted", action="store_true")
     p.add_argument("-y", dest="write_yaml", action="store_true")
     p.add_argument("-z", dest="depth_map", action="store_true")
+    # multi-host bootstrap (replaces mpirun's rank/size plumbing,
+    # ndt.c:1433-1436); on TPU pods --multihost alone auto-detects the
+    # coordinator, off-pod pass all three (or NDT_COORDINATOR /
+    # NDT_NUM_PROCESSES / NDT_PROCESS_ID env vars)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-process run)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (multi-host off-pod)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -156,6 +166,15 @@ def main(argv=None):
 
     dist_mode = (args.dist_mode or "").strip()[:1].lower() if args.dist_mode \
         else ""
+    multihost = (args.multihost or args.coordinator
+                 or os.environ.get("NDT_COORDINATOR"))
+    proc_id, proc_count = 0, 1
+    if multihost:
+        from ndt_tpu.parallel.distributed import init_distributed
+
+        proc_id, proc_count = init_distributed(
+            args.coordinator, args.num_processes, args.process_id)
+        print(f"multihost: process {proc_id}/{proc_count}", flush=True)
     mesh = None
     if dist_mode in ("r", "p"):
         # MPI row/pixel-mode analogue: pixel tiles sharded over the device
@@ -175,7 +194,11 @@ def main(argv=None):
     if args.whitted and stereo != "mono":
         print("warning: -w currently applies to mono rendering only")
 
-    if dist_mode in ("f", "F"):
+    # "f" covers both reference modes -b f (FRAME: rank 0 coordinates) and
+    # -b F (FRAME2: every rank renders, ndt.c:55-56) -- dist_mode is
+    # lowercased above, and on TPU there is no dedicated coordinator to
+    # exclude, so every device renders (FRAME2 semantics) either way.
+    if dist_mode == "f":
         # MPI FRAME-mode analogue: whole frames round-robin across devices
         from ndt_tpu.render.animate import render_animation_multidevice
 
@@ -185,9 +208,15 @@ def main(argv=None):
             "images", "SCENE",
             f"{dims}d{'_' + mode_str if mode_str else ''}"
             f"{'_' + cam_str if cam_str else ''}", res_str)
+        stride = (proc_id, proc_count) if proc_count > 1 else None
+        devices = None
+        if proc_count > 1:
+            import jax
+
+            devices = jax.local_devices()
         secs, total_rays = render_animation_multidevice(
             mod, dims, first, last, total_frames2, opts, out_dir,
-            config=args.config)
+            config=args.config, devices=devices, frame_stride=stride)
         n = max(last - first + 1, 1)
         print(f"rendered {n} frames in {secs:.1f}s "
               f"({secs / n:.2f} s/frame, {total_rays / secs / 1e6:.1f} "
@@ -242,6 +271,11 @@ def main(argv=None):
 
         img, depth, nrays = render_frame(scn, opts)
         total_rays += nrays
+        if proc_count > 1 and proc_id != 0:
+            # multihost r/p: every process holds the full gathered frame;
+            # only the coordinator writes files (ndt.c rank-0 saves)
+            rendered += 1
+            continue
         saver.save(fname, img)
         if args.depth_map and depth is not None:
             ddir = os.path.join(out_dir, "depth")

@@ -30,13 +30,30 @@ def make_pixel_mesh(devices=None) -> Mesh:
 
 
 def shard_rays(mesh: Mesh, *arrays):
-    """Place [R, ...] ray arrays sharded on the pixel axis."""
+    """Place [R, ...] ray arrays sharded on the pixel axis.
+
+    In multi-process runs every process holds the full host value (pixel
+    grids are computed deterministically everywhere), so each just feeds
+    its addressable shards -- no data moves between hosts."""
     sh = NamedSharding(mesh, P("px"))
+    if jax.process_count() > 1:
+        return tuple(
+            jax.make_array_from_callback(
+                a.shape, sh, lambda idx, a=a: np.asarray(a)[idx])
+            for a in arrays)
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a pytree over the mesh (the scene 'broadcast': the SPMD
+    program ships no bytes, every process already has the value --
+    vs the reference's YAML-over-MPI_Bcast, ndt.c:1153-1246)."""
     sh = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_callback(
+                np.shape(a), sh, lambda idx, a=a: np.asarray(a)[idx]),
+            tree)
     return jax.device_put(tree, sh)
 
 
@@ -60,4 +77,13 @@ def render_grid_sharded(scene_data, cam_data, x, y, key, opts, mesh: Mesh,
     scene_r = replicate(mesh, scene_data)
     cam_r = replicate(mesh, cam_data)
     x_s, y_s = shard_rays(mesh, jnp.asarray(x), jnp.asarray(y))
-    return render_tile(scene_r, cam_r, x_s, y_s, key, opts, eye)
+    color, depth, nrays = render_tile(scene_r, cam_r, x_s, y_s, key, opts,
+                                      eye)
+    if jax.process_count() > 1:
+        # image collect (ndt.c:1277-1309's tree reduction): all-gather the
+        # px-sharded framebuffer so every process holds the full frame
+        from jax.experimental import multihost_utils
+
+        color = multihost_utils.process_allgather(color, tiled=True)
+        depth = multihost_utils.process_allgather(depth, tiled=True)
+    return color, depth, nrays

@@ -83,12 +83,17 @@ def render_animation(scene_mod, dimensions: int, first: int, last: int,
 def render_animation_multidevice(scene_mod, dimensions: int, first: int,
                                  last: int, total: int, opts: RenderOptions,
                                  out_dir: str, config: Optional[str] = None,
-                                 devices=None):
+                                 devices=None, frame_stride=None):
     """FRAME-mode parallelism: frame i renders on device i % n, all frames
     dispatched asynchronously (one fused XLA program per frame), collected
     and saved in order.  The scene pytree for each frame is device_put to
     its worker -- the moral equivalent of mpi_send_scene (ndt.c:1193-1246)
-    without the YAML round-trip, since pytrees ship directly."""
+    without the YAML round-trip, since pytrees ship directly.
+
+    frame_stride=(pid, n): multi-process FRAME2 mode -- this process
+    renders only frames with (i - first) % n == pid (ndt.c:1831-1837
+    round-robin over ranks); scene_setup still replays every frame so
+    stateful scenes stay consistent (ndt.c:1818-1825)."""
     import dataclasses as dc
 
     import jax.numpy as jnp
@@ -110,6 +115,9 @@ def render_animation_multidevice(scene_mod, dimensions: int, first: int,
         scn = Scene("scene", dimensions)
         scene_mod.scene_setup(scn, dimensions, i, total, config)
         if i < first:
+            continue
+        if frame_stride is not None and \
+                (i - first) % frame_stride[1] != frame_stride[0]:
             continue
         if not scn.cam.prepared:
             scn.cam.aim()

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -83,12 +84,9 @@ class RenderOptions:
 # --------------------------------------------------------------------------
 # bounce loop
 
-
-import os as _os
-
 # fused in-kernel shadow tests (one megakernel launch per bounce instead of
 # closest + shadow + occlusion); NDT_FUSED_SHADOW=0 to fall back
-_FUSED_SHADOW = _os.environ.get("NDT_FUSED_SHADOW", "1") != "0"
+_FUSED_SHADOW = os.environ.get("NDT_FUSED_SHADOW", "1") != "0"
 
 
 def _trace_with_lights(scene, o, v, live, specular):
@@ -264,7 +262,11 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
 
     from ndt_tpu.render.pallas_trace import RT
 
-    if opts.compact <= 1 or R % (RT * opts.compact * opts.compact) != 0:
+    # opts.max_optic_depth < 1 must render a black frame like the
+    # while_loop path (zero bounce iterations), so it cannot take the
+    # compaction path whose primary bounce below runs unconditionally
+    if (opts.compact <= 1 or opts.max_optic_depth < 1
+            or R % (RT * opts.compact * opts.compact) != 0):
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[6], carry[7], carry[8]
 

@@ -168,8 +168,12 @@ def apply_lights(scene: SceneData, src, look, tr, active,
             rv = jnp.maximum(0.0, mathnd.dot(light_ref,
                                              mathnd.unitize(-look)))
             rvn = (rv ** SPECULAR_POWER)[:, None]
+            # the C divides by max_light unguarded (ndt.c:302-305); a
+            # zero-color light would 0/0 there -- guard so degenerate
+            # lights contribute 0 instead of NaN
             max_light = jnp.max(light.color)
-            spec = reflect_c * (light.color / max_light)[None, :] * rvn
+            safe_max = jnp.where(max_light > 0, max_light, 1.0)
+            spec = reflect_c * (light.color / safe_max)[None, :] * rvn
             out = out + jnp.where(l[:, None], spec, 0.0)
         return out
 

@@ -1,0 +1,93 @@
+"""Multi-process (multi-host analogue) integration test.
+
+Spawns TWO real jax.distributed processes (2 CPU devices each -> a global
+4-device mesh), renders a frame through the px-sharded path, and checks
+both processes' gathered framebuffers are bit-identical to a
+single-process render -- the TPU-native equivalent of verifying the
+reference's MPI row mode (ndt.c:1152-1334: YAML scene Bcast + strided rows
++ tree-reduced image) produces the same image as a serial run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import os, sys
+port, pid, outdir, repo = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
+                           sys.argv[4])
+sys.path.insert(0, os.path.join(repo, "tests"))
+sys.path.insert(0, repo)
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from ndt_tpu.parallel.distributed import init_distributed, is_coordinator
+
+rank, count = init_distributed(f"localhost:{port}", 2, pid)
+assert count == 2 and rank == pid, (rank, count)
+assert len(jax.devices()) == 4, jax.devices()
+assert jax.local_device_count() == 2
+
+from ndt_tpu.parallel.mesh import make_pixel_mesh
+from _dist_render import render_small
+import numpy as np
+
+mesh = make_pixel_mesh()
+color, depth, nrays = render_small(mesh)
+np.save(os.path.join(outdir, f"color_{pid}.npy"), color)
+print(f"child {pid} ok coordinator={is_coordinator()} nrays={nrays}",
+      flush=True)
+"""
+
+
+def test_two_process_sharded_render_matches_single(tmp_path):
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # children set their own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(port), str(i), str(outdir),
+             REPO],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"child {i} failed:\n{out[-3000:]}"
+
+    # single-process reference through the same sharded code path
+    import jax
+
+    from ndt_tpu.parallel.mesh import make_pixel_mesh
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _dist_render import render_small
+
+    ref, _, _ = render_small(make_pixel_mesh(jax.devices("cpu")[:4]))
+
+    c0 = np.load(outdir / "color_0.npy")
+    c1 = np.load(outdir / "color_1.npy")
+    assert np.array_equal(c0, c1), "processes disagree on gathered frame"
+    assert np.array_equal(c0, ref), (
+        f"multi-process render differs from single-process: "
+        f"max|d|={np.abs(c0 - ref).max()}")

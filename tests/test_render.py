@@ -360,7 +360,7 @@ def test_fused_inkernel_shading_matches_unfused():
     spot = scn.add_light(LightType.SPOT)
     spot.pos = np.array([-5.0, 8.0, 4.0, 0])
     spot.dir = np.array([0.5, -1.0, 0.5, 0])
-    spot.angle_deg = 30.0
+    spot.angle = 30.0  # host model field; compile reads l.angle (degrees)
     spot.set_color(60, 60, 60)
     sun = scn.add_light(LightType.DIRECTIONAL)
     sun.dir = np.array([0.3, -1.0, 0.2, 0])
@@ -385,6 +385,13 @@ def test_fused_inkernel_shading_matches_unfused():
     o, v = gen_rays(cd, jnp.asarray(xg.ravel()), jnp.asarray(yg.ravel()),
                     key, opts, "center", False, False)
 
+    # same scene with the spot turned off -- proves the cone actually
+    # lights pixels, so the fused/unfused comparison is not vacuous
+    spot_col = spot.color.copy()
+    spot.set_color(0, 0, 0)
+    sd_dark = jax.device_put(compile_scene(scn, np.float32))
+    spot.color = spot_col
+
     runs = {}
     old = engine._FUSED_SHADOW
     try:
@@ -394,9 +401,15 @@ def test_fused_inkernel_shading_matches_unfused():
             trace_mod.set_trace_impl(impl)
             engine._FUSED_SHADOW = fuse
             runs[name] = np.asarray(render_rays(sd, o, v, key, opts)[0])
+        trace_mod.set_trace_impl("jnp")
+        engine._FUSED_SHADOW = False
+        runs["dark"] = np.asarray(render_rays(sd_dark, o, v, key, opts)[0])
     finally:
         trace_mod.set_trace_impl("auto")
         engine._FUSED_SHADOW = old
+
+    assert np.abs(runs["jnp"] - runs["dark"]).max() > 0.01, \
+        "spot cone never lights a pixel -- parity test is degenerate"
 
     # shading boundary tests (shadow same-point EPSILON, spot cone) may
     # flip on a knife-edge pixel because the kernel's in-register hit
