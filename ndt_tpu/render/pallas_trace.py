@@ -34,9 +34,10 @@ Modes:
               over infinite objects (object.c:736-738 + kd-tree.c:592-594)
               via a first-rank pass then a conditional-min pass
 
-Covers the sphere / plane / quadric families; facet/hfacet blocks fall back
-to the jnp path and are merged outside.  f32 only -- the f64 golden-parity
-path stays on the jnp kernels in intersect.py.
+Covers all five families (sphere / plane / quadric / facet / hfacet) for
+single-chunk scenes; multi-chunk (SMEM-overflow) scenes evaluate facet
+families on the jnp path and min-merge outside.  f32 only -- the f64
+golden-parity path stays on the jnp kernels in intersect.py.
 """
 
 from __future__ import annotations
@@ -92,6 +93,8 @@ class PallasMeta(NamedTuple):
     # shadow tests evaluate exactly these instead of scanning every
     # candidate for its rank (there are usually 0-2 infinite objects)
     inf_gids: tuple = ()
+    n_fct: int = 0   # facet family rows (facet.c triangles)
+    n_hf: int = 0    # hfacet family rows (hfacet.c triangles)
 
 
 # --------------------------------------------------------------------------
@@ -243,6 +246,166 @@ def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref,
     return t, nrm
 
 
+def _facet_width(D):
+    """Flat facet table row width (see pack_params layout)."""
+    return 10 * D + 11
+
+
+def _facet_eval(fct_ref, n, o, v, D, want_normal):
+    """Triangle facet (facet.c:166-269): plane closest-approach with an
+    EPSILON surface-distance acceptance, then the vertex-angle inside test
+    (facet.c:149-164).  Mirrors intersect.facet_distances, with the
+    Lagrange-identity gram trick for the f32-stable |surf| at the minimum.
+
+    Row layout: b0[D] b1[D] base[D] bb0 bb1 v0..v2[3D] e0..e2[3D]
+    vdote[3] edote[3] cosang[3] normal[D]."""
+    w = n * _facet_width(D)
+    b0 = [fct_ref[w + d] for d in range(D)]
+    b1 = [fct_ref[w + D + d] for d in range(D)]
+    base = [fct_ref[w + 2 * D + d] for d in range(D)]
+    bb0 = fct_ref[w + 3 * D]
+    bb1 = fct_ref[w + 3 * D + 1]
+
+    a0 = sum(v[d] * b0[d] for d in range(D))
+    a1 = sum(v[d] * b1[d] for d in range(D))
+    c0 = sum(o[d] * b0[d] for d in range(D)) - bb0
+    c1 = sum(o[d] * b1[d] for d in range(D)) - bb1
+    qa = 0.0
+    qb = 0.0
+    qc = 0.0
+    v_perp = []
+    x_perp = []
+    for d in range(D):
+        vp = a0 * b0[d] + a1 * b1[d] - v[d]
+        xp = c0 * b0[d] + c1 * b1[d] - (o[d] - base[d])
+        v_perp.append(vp)
+        x_perp.append(xp)
+        qa = qa + vp * vp
+        qb = qb + vp * xp
+        qc = qc + xp * xp
+    qb = 2.0 * qb
+
+    small_qa = jnp.abs(qa) < EPSILON
+    small_qb = jnp.abs(qb) < EPSILON
+    t_lin = -qc / jnp.where(small_qb & (qb != 0.0), qb, 1.0)
+    t_min = -qb / (2.0 * jnp.where(small_qa, 1.0, qa))
+    t = jnp.where(small_qa,
+                  jnp.where(small_qb & (qb != 0.0), t_lin, -1.0), t_min)
+    gram = 0.0
+    for a in range(D):
+        for b in range(a + 1, D):
+            m = v_perp[a] * x_perp[b] - v_perp[b] * x_perp[a]
+            gram = gram + m * m
+    surf = jnp.where(small_qa, qa * t * t + qb * t + qc,
+                     gram / jnp.where(small_qa, 1.0, qa))
+    ok = (t >= EPSILON) & (jnp.abs(surf) <= EPSILON)
+
+    oo = sum(o[d] * o[d] for d in range(D))
+    vo = sum(v[d] * o[d] for d in range(D))
+    vv = sum(v[d] * v[d] for d in range(D))
+    for i in range(3):
+        vi = [fct_ref[w + 3 * D + 2 + i * D + d] for d in range(D)]
+        ei = [fct_ref[w + 6 * D + 2 + i * D + d] for d in range(D)]
+        vdote = fct_ref[w + 9 * D + 2 + i]      # vi . ei
+        edote = fct_ref[w + 9 * D + 5 + i]      # ei . ei
+        cosang = fct_ref[w + 9 * D + 8 + i]
+        u_dot_e = (sum(o[d] * ei[d] for d in range(D)) - vdote
+                   + t * sum(v[d] * ei[d] for d in range(D)))
+        ovi = sum(o[d] * vi[d] for d in range(D))
+        vvi = sum(v[d] * vi[d] for d in range(D))
+        vivi = sum(x * x for x in vi)
+        u2 = oo - 2.0 * ovi + vivi + 2.0 * t * (vo - vvi) + t * t * vv
+        div = jnp.sqrt(jnp.maximum(u2, 0.0) * edote)
+        cos_q = u_dot_e / jnp.where(div > EPSILON, div, 1.0)
+        # degenerate div: vectNd_angle returns -1, which passes (> test)
+        ok &= (div <= EPSILON) | (cos_q >= cosang)
+    t_out = jnp.where(ok, t, BIG)
+    if not want_normal:
+        return t_out, None
+    nrm = [jnp.broadcast_to(fct_ref[w + 9 * D + 11 + d], t_out.shape)
+           for d in range(D)]                    # facet.c:257: dir[0]
+    return t_out, nrm
+
+
+def _hfacet_width(D):
+    return 7 * D + 12
+
+
+def _hfacet_eval(hf_ref, n, o, v, D, want_normal):
+    """hfacet (hfacet.c:211-310): ones-contraction linear solve + 2-D
+    barycentric inside test + the per-ray bounding-sphere gate that the C
+    gets from trace()'s cull (object.c:605-630) -- mirrors
+    intersect.hfacet_distances.
+
+    Row layout: v0[D] ue0[D] ep[D] sum_ue0 sum_ep v0_ue0 v0_ep v0_sum
+    x2 y2 x3 y3 inv_den use_normals vn0..vn2[3D] b_center[D] b_r2."""
+    w = n * _hfacet_width(D)
+    v0 = [hf_ref[w + d] for d in range(D)]
+    ue0 = [hf_ref[w + D + d] for d in range(D)]
+    ep = [hf_ref[w + 2 * D + d] for d in range(D)]
+    sum_ue0 = hf_ref[w + 3 * D]
+    sum_ep = hf_ref[w + 3 * D + 1]
+    v0_ue0 = hf_ref[w + 3 * D + 2]
+    v0_ep = hf_ref[w + 3 * D + 3]
+    v0_sum = hf_ref[w + 3 * D + 4]
+    x2 = hf_ref[w + 3 * D + 5]
+    y2 = hf_ref[w + 3 * D + 6]
+    x3 = hf_ref[w + 3 * D + 7]
+    y3 = hf_ref[w + 3 * D + 8]
+    inv_den = hf_ref[w + 3 * D + 9]
+    use_n = hf_ref[w + 3 * D + 10]
+
+    sv = sum(v[d] for d in range(D))
+    so = sum(o[d] for d in range(D))
+    v_ue0 = sum(v[d] * ue0[d] for d in range(D))
+    v_ep = sum(v[d] * ep[d] for d in range(D))
+    rv = v_ue0 * sum_ue0 + v_ep * sum_ep - sv
+    x_ue0 = sum(o[d] * ue0[d] for d in range(D)) - v0_ue0
+    x_ep = sum(o[d] * ep[d] for d in range(D)) - v0_ep
+    qv = x_ue0 * sum_ue0 + x_ep * sum_ep - (so - v0_sum)
+    ok = jnp.abs(rv) >= EPSILON
+    t = -qv / jnp.where(ok, rv, 1.0)
+    ok &= t > EPSILON
+
+    xp = x_ue0 + t * v_ue0
+    yp = x_ep + t * v_ep
+    l1 = ((y2 - y3) * (xp - x3) + (x3 - x2) * (yp - y3)) * inv_den
+    l2 = (y3 * (xp - x3) + (0.0 - x3) * (yp - y3)) * inv_den
+    l3 = 1.0 - l1 - l2
+    for l in (l1, l2, l3):
+        ok &= (l >= -EPSILON) & (l <= 1.0 + EPSILON)
+
+    # per-ray bounding-sphere gate (bounding.c:34-85): the ones solve
+    # enforces only one of the D-2 plane constraints, so phantom hits far
+    # off the plane must be culled exactly as the C's trace() does
+    oo = sum(o[d] * o[d] for d in range(D))
+    vo = sum(v[d] * o[d] for d in range(D))
+    bc = [hf_ref[w + 6 * D + 11 + d] for d in range(D)]
+    br2 = hf_ref[w + 7 * D + 11]
+    oc2 = (oo - 2.0 * sum(o[d] * bc[d] for d in range(D))
+           + sum(b * b for b in bc))
+    voc = vo - sum(v[d] * bc[d] for d in range(D))
+    desc = voc * voc - oc2 + br2
+    ok &= (desc >= 0.0) & ~((voc > 0.0) & (voc * voc > desc))
+    t_out = jnp.where(ok, t, BIG)
+    if not want_normal:
+        return t_out, None
+    # flag[0]: barycentric-interpolated vertex normals, else the direction
+    # from the plane's closest point to the OBSERVER (hfacet.c:279-297);
+    # magnitudes don't matter downstream (shading normalizes)
+    nrm = []
+    d0_ue0 = sum((o[d] - v0[d]) * ue0[d] for d in range(D))
+    d0_ep = sum((o[d] - v0[d]) * ep[d] for d in range(D))
+    for d in range(D):
+        vn = (hf_ref[w + 3 * D + 11 + d] * l1
+              + hf_ref[w + 4 * D + 11 + d] * l2
+              + hf_ref[w + 5 * D + 11 + d] * l3)
+        on = v0[d] + ue0[d] * d0_ue0 + ep[d] * d0_ep
+        nrm.append(jnp.where(use_n > 0.0, vn,
+                             jnp.broadcast_to(o[d] - on, t_out.shape)))
+    return t_out, nrm
+
+
 # --------------------------------------------------------------------------
 # per-tile conservative cull (scalar unit): can ANY ray in the tile hit the
 # object's bounding sphere?  Interval arithmetic over the tile's per-
@@ -299,6 +462,34 @@ _USE_CULL = os.environ.get("NDT_PALLAS_CULL", "1") != "0"
 _USE_PROPS = os.environ.get("NDT_PALLAS_PROPS", "1") != "0"
 
 
+def _fam_meta(meta: PallasMeta):
+    """(family key, cull-count column, global-id offset) of present
+    families, in global-id order (must match pack_params concatenation)."""
+    out = []
+    off = 0
+    for key, col, n in (("sph", 0, meta.n_sph), ("pln", 1, meta.n_pln),
+                        ("quad", 2, meta.n_quad), ("fct", 3, meta.n_fct),
+                        ("hf", 4, meta.n_hf)):
+        if n:
+            out.append((key, col, off))
+        off += n
+    return out
+
+
+def _gid_fam(meta: PallasMeta, gid):
+    """Static global id -> (family key, local row)."""
+    for key, n in (("sph", meta.n_sph), ("pln", meta.n_pln),
+                   ("quad", meta.n_quad), ("fct", meta.n_fct),
+                   ("hf", meta.n_hf)):
+        if gid < n:
+            return key, gid
+        gid -= n
+    raise ValueError(f"gid out of range: {gid}")
+
+
+N_FAMS = 5   # cull-count columns (sph, pln, quad, fct, hf)
+
+
 def _make_kernel(meta: PallasMeta, mode: str):
     """mode: 'closest' | 'any' | 'shadow'."""
     D = meta.dim
@@ -307,8 +498,8 @@ def _make_kernel(meta: PallasMeta, mode: str):
     NOTINF = (1 << 30) - 1  # python literal; captured jnp consts are disallowed
 
     def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
-               qoff_ref, qslab_ref, qgt_ref, qgp_ref, mat_ref, rank_ref,
-               bnd_ref, prop_ref,
+               qoff_ref, qslab_ref, qgt_ref, qgp_ref, fct_ref, hf_ref,
+               mat_ref, rank_ref, bnd_ref, prop_ref,
                lists_ref, counts_ref, o_ref, v_ref, aux_ref, *out_refs):
         o = [o_ref[d] for d in range(D)]       # each (RT//LANE, LANE)
         v = [v_ref[d] for d in range(D)]
@@ -316,13 +507,7 @@ def _make_kernel(meta: PallasMeta, mode: str):
 
         # per-tile compact surviving-object lists, built vectorized in XLA
         # (cull_lists below) and delivered as blocked SMEM rows
-        fam_meta = []
-        if meta.n_sph:
-            fam_meta.append(("sph", 0, 0))
-        if meta.n_pln:
-            fam_meta.append(("pln", 1, meta.n_sph))
-        if meta.n_quad:
-            fam_meta.append(("quad", 2, meta.n_sph + meta.n_pln))
+        fam_meta = _fam_meta(meta)
 
         def make_evals(o, v, normals):
             return {
@@ -332,17 +517,12 @@ def _make_kernel(meta: PallasMeta, mode: str):
                     qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
                     qslab_ref, qgt_ref, qgp_ref, n, o, v, D, A,
                     meta.b_gate, normals),
+                "fct": lambda n: _facet_eval(fct_ref, n, o, v, D, normals),
+                "hf": lambda n: _hfacet_eval(hf_ref, n, o, v, D, normals),
             }
 
         evals = make_evals(o, v, want_normal)
-
-        def gid_fam(gid):
-            """Static global id -> (family key, local row)."""
-            if gid < meta.n_sph:
-                return "sph", gid
-            if gid < meta.n_sph + meta.n_pln:
-                return "pln", gid - meta.n_sph
-            return "quad", gid - meta.n_sph - meta.n_pln
+        gid_fam = functools.partial(_gid_fam, meta)
 
         def first_rank_pass(sev, limit):
             """Lowest shadow rank among INFINITE leaves hit within the
@@ -496,8 +676,8 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
     nf = len(fused)
 
     def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
-               qoff_ref, qslab_ref, qgt_ref, qgp_ref, mat_ref, rank_ref,
-               bnd_ref, prop_ref, lvec_ref, *rest):
+               qoff_ref, qslab_ref, qgt_ref, qgp_ref, fct_ref, hf_ref,
+               mat_ref, rank_ref, bnd_ref, prop_ref, lvec_ref, *rest):
         lists = rest[:nf]
         counts = rest[nf:2 * nf]
         rest = rest[2 * nf:]
@@ -516,13 +696,7 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
         wr = [pr_ref[3 + j] for j in range(3)]  # winner reflectivity
         wt = pr_ref[6]                          # winner transparent
 
-        fam_meta = []
-        if meta.n_sph:
-            fam_meta.append(("sph", 0, 0))
-        if meta.n_pln:
-            fam_meta.append(("pln", 1, meta.n_sph))
-        if meta.n_quad:
-            fam_meta.append(("quad", 2, meta.n_sph + meta.n_pln))
+        fam_meta = _fam_meta(meta)
 
         def make_evals(so, sv):
             return {
@@ -532,14 +706,11 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
                     qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
                     qslab_ref, qgt_ref, qgp_ref, n, so, sv, D, A,
                     meta.b_gate, False),
+                "fct": lambda n: _facet_eval(fct_ref, n, so, sv, D, False),
+                "hf": lambda n: _hfacet_eval(hf_ref, n, so, sv, D, False),
             }
 
-        def gid_fam(gid):
-            if gid < meta.n_sph:
-                return "sph", gid
-            if gid < meta.n_sph + meta.n_pln:
-                return "pln", gid - meta.n_sph
-            return "quad", gid - meta.n_sph - meta.n_pln
+        gid_fam = functools.partial(_gid_fam, meta)
 
         def first_rank_pass(sev, limit):
             # lowest rank among INFINITE leaves hit within the limit (the
@@ -714,7 +885,7 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
 
     o, v: [R, D] f32 (R a multiple of RT); t [R]; mat [R] i32; nrm [R, D];
     props [R, N_PROPS]; lvec: flat light table; culls: per fused light
-    (lists [n_tiles, N], counts [n_tiles, 3]) over that light's shadow
+    (lists [n_tiles, N], counts [n_tiles, N_FAMS]) over that light's shadow
     rays (from trace.fused_light_info / cull_lists).
 
     Without ``carry``: returns the local color [R, 3].  With
@@ -741,10 +912,11 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
                             memory_space=pltpu.VMEM)
     props_spec = pl.BlockSpec((N_PROPS, rows, LANE), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
-    n_total = max(meta.n_sph + meta.n_pln + meta.n_quad, 1)
+    n_total = max(meta.n_sph + meta.n_pln + meta.n_quad + meta.n_fct
+                  + meta.n_hf, 1)
     list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    cnt_spec = pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
+    cnt_spec = pl.BlockSpec((1, 1, N_FAMS), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
     lists_in = [c[0][:, None, :] for c in culls]
@@ -775,7 +947,7 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
     out = pl.pallas_call(
         kernel,
         grid=(R // RT,),
-        in_specs=([smem()] * 15 + [list_spec] * nf + [cnt_spec] * nf
+        in_specs=([smem()] * 17 + [list_spec] * nf + [cnt_spec] * nf
                   + base_spec + extra_spec),
         out_specs=out_specs,
         out_shape=out_shape,
@@ -866,6 +1038,66 @@ def pack_params(scene):
                         np.full((1, 1, D), BIG, f32)], axis=-1)
         qgp = qgt
 
+    fct = scene.facets
+    if fct is not None:
+        # row layout documented in _facet_eval
+        verts = np.asarray(fct.verts, np.float64)        # [n, 3, D]
+        edges = np.asarray(fct.edges, np.float64)
+        basis = np.asarray(fct.basis, np.float64)        # [n, 2, D]
+        base = verts[:, 1, :]
+        n_f = verts.shape[0]
+        fct_tab = np.concatenate([
+            basis[:, 0, :], basis[:, 1, :], base,
+            (base * basis[:, 0, :]).sum(1)[:, None],
+            (base * basis[:, 1, :]).sum(1)[:, None],
+            verts.reshape(n_f, 3 * D), edges.reshape(n_f, 3 * D),
+            (verts * edges).sum(2),                       # vi . ei  [n, 3]
+            (edges * edges).sum(2),                       # ei . ei  [n, 3]
+            np.asarray(fct.cos_angles, np.float64),
+            np.asarray(fct.normal, np.float64),
+        ], axis=1).astype(f32)
+        assert fct_tab.shape[1] == _facet_width(D), fct_tab.shape
+        mats.append(np.asarray(fct.mat_id, np.int32))
+        ranks.append(np.asarray(fct.shadow_rank, np.int32))
+        bnds.append(bounds_rows(fct))
+    else:
+        fct_tab = np.zeros((1, _facet_width(D)), f32)
+
+    hf = scene.hfacets
+    if hf is not None:
+        # row layout documented in _hfacet_eval
+        verts = np.asarray(hf.verts, np.float64)
+        v0 = verts[:, 0, :]
+        ue0 = np.asarray(hf.ue0, np.float64)
+        ep = np.asarray(hf.ep, np.float64)
+        n_h = verts.shape[0]
+        x2 = np.asarray(hf.bary_x2, np.float64)
+        y2 = np.asarray(hf.bary_y2, np.float64)
+        x3 = np.asarray(hf.bary_x3, np.float64)
+        y3 = np.asarray(hf.bary_y3, np.float64)
+        den = (y2 - y3) * (0.0 - x3) + (x3 - x2) * (0.0 - y3)
+        inv_den = 1.0 / np.where(np.abs(den) > 0, den, 1.0)
+        br = np.asarray(hf.b_radius, np.float64)
+        hf_tab = np.concatenate([
+            v0, ue0, ep,
+            np.asarray(hf.sum_ue0, np.float64)[:, None],
+            np.asarray(hf.sum_ep, np.float64)[:, None],
+            (v0 * ue0).sum(1)[:, None], (v0 * ep).sum(1)[:, None],
+            v0.sum(1)[:, None],
+            x2[:, None], y2[:, None], x3[:, None], y3[:, None],
+            inv_den[:, None],
+            np.asarray(hf.use_normals, np.float64)[:, None],
+            np.asarray(hf.vnormals, np.float64).reshape(n_h, 3 * D),
+            np.asarray(hf.b_center, np.float64),
+            (br * br)[:, None],
+        ], axis=1).astype(f32)
+        assert hf_tab.shape[1] == _hfacet_width(D), hf_tab.shape
+        mats.append(np.asarray(hf.mat_id, np.int32))
+        ranks.append(np.asarray(hf.shadow_rank, np.int32))
+        bnds.append(bounds_rows(hf))
+    else:
+        hf_tab = np.zeros((1, _hfacet_width(D)), f32)
+
     mat_tab = (np.concatenate(mats) if mats
                else np.zeros(1, np.int32))
     rank_tab = (np.concatenate(ranks) if ranks
@@ -891,10 +1123,13 @@ def pack_params(scene):
         a_quad=A,
         b_gate=B,
         inf_gids=inf_gids,
+        n_fct=0 if fct is None else fct.verts.shape[0],
+        n_hf=0 if hf is None else hf.verts.shape[0],
     )
     return meta, (sph_tab.ravel(), pln_tab.ravel(), qbase.ravel(),
                   qaxes.ravel(), qlo.ravel(), qhi.ravel(), qoff.ravel(),
                   qslab.ravel(), qgt.ravel(), qgp.ravel(),
+                  fct_tab.ravel(), hf_tab.ravel(),
                   mat_tab, rank_tab, bnd_tab.ravel(),
                   prop_tab.ravel())
 
@@ -903,14 +1138,14 @@ def cull_lists(params, o, v, meta, live=None):
     """Vectorized per-tile object culling in XLA: interval arithmetic over
     each RT-ray tile's origin/direction bounds vs every object's bounding
     sphere, then per-family compaction into (lists [n_tiles, N],
-    counts [n_tiles, 3]) consumed by the kernel as blocked SMEM rows.
+    counts [n_tiles, N_FAMS]) consumed by the kernel as blocked SMEM rows.
 
     The same conservative test as the reference's bounding-sphere cull
     (bounding.c:34-85) but at tile granularity: the tile may hit the object
     unless the lower bound of every ray's squared perpendicular distance
     exceeds r^2, or the whole sphere is behind every ray."""
     R, D = o.shape
-    bnd = params[12].reshape(-1, D + 1)       # center + r2 (-1 = infinite)
+    bnd = params[14].reshape(-1, D + 1)       # center + r2 (-1 = infinite)
     n_tiles = R // RT
     o_t = o.reshape(n_tiles, RT, D)
     v_t = v.reshape(n_tiles, RT, D)
@@ -966,7 +1201,8 @@ def cull_lists(params, o, v, meta, live=None):
     # TPU sort); the one-hot is O(sz^2) per tile, so wide families (large
     # scenes packed into chunks) switch to a per-row stable sort instead.
     n_tot = bnd.shape[0]
-    fam_sizes = [meta.n_sph, meta.n_pln, meta.n_quad]
+    fam_sizes = [meta.n_sph, meta.n_pln, meta.n_quad, meta.n_fct,
+                 meta.n_hf]
     lists = []
     counts = []
     off = 0
@@ -994,7 +1230,7 @@ def cull_lists(params, o, v, meta, live=None):
              else jnp.zeros((n_tiles, 1), jnp.int32))
     if lists.shape[1] < max(n_tot, 1):
         lists = jnp.pad(lists, ((0, 0), (0, max(n_tot, 1) - lists.shape[1])))
-    counts = jnp.stack(counts, axis=1)         # [n_tiles, 3]
+    counts = jnp.stack(counts, axis=1)         # [n_tiles, N_FAMS]
     return lists, counts
 
 
@@ -1054,18 +1290,19 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
     }
     out_specs, out_shape = shapes[mode]
 
-    n_total = max(meta.n_sph + meta.n_pln + meta.n_quad, 1)
+    n_total = max(meta.n_sph + meta.n_pln + meta.n_quad + meta.n_fct
+                  + meta.n_hf, 1)
     lists, counts = cull_lists(params, o, v, meta, live)
     lists = lists[:, None, :]
     counts = counts[:, None, :]
     list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    cnt_spec = pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
+    cnt_spec = pl.BlockSpec((1, 1, N_FAMS), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem()] * 14 + [list_spec, cnt_spec, ray_spec, ray_spec,
+        in_specs=[smem()] * 16 + [list_spec, cnt_spec, ray_spec, ray_spec,
                                   aux_spec],
         out_specs=out_specs,
         out_shape=out_shape,

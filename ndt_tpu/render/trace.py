@@ -80,7 +80,11 @@ def _pad_rays(o, v, rt):
 
 
 def _merge_extras(scene, o, v, t, mat, nrm, props):
-    """Fold facet/hfacet blocks (jnp kernels) into the megakernel winner."""
+    """Fold facet/hfacet blocks (jnp kernels) into the megakernel winner.
+
+    Only needed on the multi-chunk path: single-chunk scenes evaluate both
+    families inside the megakernel (pallas_trace._facet_eval/_hfacet_eval),
+    so callers skip this when len(scene.pmeta) == 1."""
     pre = None
     for name in ("facets", "hfacets"):
         blk = getattr(scene, name)
@@ -121,17 +125,15 @@ def fused_light_info(scene):
     closest-hit megakernel, else None.
 
     Fusable: single SMEM chunk (the in-kernel shadow pass must see every
-    object), no facet/hfacet leaves (those are evaluated outside the
-    kernel), and only point/spot/directional lights (area lights sample a
-    random surface point per shading event, ndt.c:116-147, which would
-    have to travel to the kernel as a full per-ray array).
+    object; facet/hfacet families are in-kernel for single-chunk scenes)
+    and only point/spot/directional lights (area lights sample a random
+    surface point per shading event, ndt.c:116-147, which would have to
+    travel to the kernel as a full per-ray array).
 
     Table layout (flat f32): [ambient_total(3), background(3)] then per
     light [color(3), spec_color(3), kind-specific: pos(D) for 'p';
     pos(D), unit_dir(D), cos_cutoff(1) for 's'; unit_dir(D) for 'd']."""
     if scene.pmeta is None or len(scene.pmeta) != 1:
-        return None
-    if scene.facets is not None or scene.hfacets is not None:
         return None
     f32 = jnp.float32
     amb = jnp.asarray(scene.ambient, f32)
@@ -145,7 +147,10 @@ def fused_light_info(scene):
         if light.kind in (4, 5):                  # disk/rect area lights
             return None
         lcol = jnp.asarray(light.color, f32)
-        spec3 = lcol / jnp.max(lcol)              # ndt.c:299-301
+        # the C divides by max_light unguarded (ndt.c:302-305); guard so a
+        # degenerate zero-color light contributes 0 instead of NaN
+        lmax = jnp.max(lcol)
+        spec3 = lcol / jnp.where(lmax > 0, lmax, f32(1.0))
         parts += [lcol, spec3]
         if light.kind == 2:                       # directional
             kinds.append("d")
@@ -332,7 +337,8 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
         props = props[:R]
         props = {"color": props[:, 0:3], "reflect": props[:, 3:6],
                  "transparent": props[:, 6], "ior": props[:, 7]}
-    t, mat, nrm, props = _merge_extras(scene, o, v, t, mat, nrm, props)
+    if len(scene.pmeta) > 1:   # single chunk evaluates facets in-kernel
+        t, mat, nrm, props = _merge_extras(scene, o, v, t, mat, nrm, props)
     hit = t < BIG * 0.5
     mat = jnp.where(hit, mat, -1)
     return t, hit, mat, nrm, props
@@ -370,8 +376,9 @@ def _pallas_shadow(scene, o, v, limit, mode, live=None):
             t = jnp.where(b, t_c, t)
             mat = jnp.where(b, mat_c, mat)
     t, mat = t[:R], mat[:R]
-    # facet/hfacet leaves are always finite: plain closest-min merge
-    t, mat, _, _ = _merge_extras(scene, o, v, t, mat, None, None)
+    if len(scene.pmeta) > 1:
+        # facet/hfacet leaves are always finite: plain closest-min merge
+        t, mat, _, _ = _merge_extras(scene, o, v, t, mat, None, None)
     hit = t < BIG * 0.5
     mat = jnp.where(hit, mat, -1)
     point = o + v * t[:, None]
@@ -464,24 +471,23 @@ def trace(scene: SceneData, o, v, need_normal: bool = True,
             props = _gather_props(scene, mat_id, hit)
         return TraceResult(t=t_min, hit=hit, mat_id=mat_id, point=point,
                            normal=(nrm if need_normal else None), **props)
-    if True:
-        pre = intersect.ray_precompute(o, v)
-        ts, mats = [], []
-        blocks = []
-        for name in _BLOCK_FIELDS:
-            blk = getattr(scene, name)
-            if blk is None:
-                continue
-            dist_fn, norm_fn = intersect.KERNELS[name]
-            ts.append(dist_fn(blk, o, v, pre))
-            mats.append(blk.mat_id)
-            blocks.append((name, blk, norm_fn))
+    pre = intersect.ray_precompute(o, v)
+    ts, mats = [], []
+    blocks = []
+    for name in _BLOCK_FIELDS:
+        blk = getattr(scene, name)
+        if blk is None:
+            continue
+        dist_fn, norm_fn = intersect.KERNELS[name]
+        ts.append(dist_fn(blk, o, v, pre))
+        mats.append(blk.mat_id)
+        blocks.append((name, blk, norm_fn))
 
-        t_all = jnp.concatenate(ts, axis=1)               # [R, N]
-        mat_all = jnp.concatenate([jnp.asarray(m) for m in mats])  # [N]
+    t_all = jnp.concatenate(ts, axis=1)               # [R, N]
+    mat_all = jnp.concatenate([jnp.asarray(m) for m in mats])  # [N]
 
-        idx, t_min, hit, mat_id = _closest_with_refine(blocks, t_all,
-                                                       mat_all, o, v)
+    idx, t_min, hit, mat_id = _closest_with_refine(blocks, t_all,
+                                                   mat_all, o, v)
     point = o + v * t_min[:, None]
 
     normal = None

@@ -434,6 +434,13 @@ def _quadric_gates(leaves, kd_items, dim):
     lowers = np.stack([lo for lo, _ in kd_items])
     uppers = np.stack([hi for _, hi in kd_items])
     if len(kd_items) > _KD_EXACT_MAX:
+        import warnings
+        warnings.warn(
+            f"scene has {len(kd_items)} kd items > {_KD_EXACT_MAX}: "
+            "orthotope EPSILON-shell gating falls back from C-exact kd "
+            "leaf cells to per-item AABBs (conservative; golden parity "
+            "not guaranteed past this threshold)", RuntimeWarning,
+            stacklevel=2)
         # the C-exact build duplicates straddling items into both children,
         # which explodes combinatorially on dense scenes (measured ~5M leaf
         # cells at 300 overlapping random objects -- the reference's own
@@ -488,6 +495,12 @@ def _build_quadrics(leaves, dim, dt, gates=None):
             # traversal rejects -- but bounded, and exactness is preserved
             # for every scene whose slabs stay under the cap (all goldens).
             if len(boxes[k]) > _GATE_MAX:
+                import warnings
+                warnings.warn(
+                    f"slab gate has {len(boxes[k])} kd cells > "
+                    f"{_GATE_MAX}: falling back to their union box "
+                    "(conservative vs the C's exact traversal)",
+                    RuntimeWarning, stacklevel=2)
                 arr = np.stack(boxes[k])                  # [B_k, D, 2]
                 union = np.stack([arr[:, :, 0].min(0),
                                   arr[:, :, 1].max(0)], axis=-1)
@@ -666,13 +679,6 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
 _SMEM_BUDGET = 480 * 1024   # bytes of per-object SMEM tables per kernel call
 
 
-def _slice_block(blk, idx):
-    if blk is None or len(idx) == 0:
-        return None
-    return type(blk)(**{f.name: getattr(blk, f.name)[idx]
-                        for f in dataclasses.fields(blk)})
-
-
 def _pack_chunked(sd: "SceneData"):
     """Pack the megakernel SMEM tables, splitting large scenes into
     SMEM-sized sub-scene chunks (the kernel runs once per chunk and the
@@ -688,7 +694,12 @@ def _pack_chunked(sd: "SceneData"):
     cost = {"spheres": 4 * ((D + 1) + 2 + (D + 1)),
             "planes": 4 * ((2 * D + 1) + 2 + (D + 1)),
             "quadrics": 4 * ((D + A * D + 2 * A + 2) + 4 * B * D + 2
-                             + (D + 1))}
+                             + (D + 1)),
+            # facet families ride the single-chunk kernel only; their rows
+            # still count toward the SMEM budget (widths: pallas_trace
+            # _facet_width/_hfacet_width + mat/rank + bounds)
+            "facets": 4 * ((10 * D + 11) + 2 + (D + 1)),
+            "hfacets": 4 * ((7 * D + 12) + 2 + (D + 1))}
     budget = _SMEM_BUDGET - 4 * N_PROPS * sd.n_materials - 4096
     if budget < 4 * max(cost.values()):
         raise ValueError(
@@ -737,9 +748,12 @@ def _pack_chunked(sd: "SceneData"):
             i += len(take)
     flush()
 
-    # pad every chunk to the same per-family row counts so all chunks share
-    # ONE kernel specialization (meta equality = one Mosaic compile); dummy
-    # rows sit at +BIG with tiny bounds and can never win a trace
+    # pad every chunk to the same per-family row counts so chunks share
+    # kernel specializations (PallasMeta carries static inf_gids, which
+    # differ between chunk 0 -- holder of all infinite leaves -- and
+    # finite-only chunks, so scenes with infinite objects compile up to two
+    # Mosaic kernels per mode rather than one per chunk); dummy rows sit at
+    # +BIG with tiny bounds and can never win a trace
     idxs = {fam: [np.concatenate(ch.get(fam, [[]])).astype(np.int64)
                   for ch in chunks] for fam in fams}
     pad_to = {fam: max(len(i) for i in idxs[fam]) for fam in fams}
