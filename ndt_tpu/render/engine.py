@@ -89,16 +89,18 @@ class RenderOptions:
 _FUSED_SHADOW = os.environ.get("NDT_FUSED_SHADOW", "1") != "0"
 
 
-def _trace_with_lights(scene, o, v, live, specular):
+def _trace_with_lights(scene, o, v, live, specular, key=None):
     """Closest hit plus, when the scene supports it, the complete local
     shading computed INSIDE the same megakernel launch (render/pallas_trace
-    fused mode).  Returns (TraceResult, local [R, 3] | None)."""
+    fused mode).  ``key`` feeds the per-ray area-light surface sampling
+    (ndt.c:116-147).  Returns (TraceResult, local [R, 3] | None)."""
     from ndt_tpu.render.trace import (_pallas_mode, fused_light_info,
                                       trace_fused)
 
     if (_FUSED_SHADOW and _pallas_mode(scene, o) is not None
             and fused_light_info(scene) is not None):
-        return trace_fused(scene, o, v, live=live, specular=specular)
+        return trace_fused(scene, o, v, live=live, specular=specular,
+                           key=key)
     return trace(scene, o, v, need_normal=True, live=live), None
 
 
@@ -192,26 +194,26 @@ def _chain_loop(scene, R, dt, opts):
             # node accumulation + mirror spawn) runs in two kernel
             # launches; only the depth map, ray accounting and the
             # max-depth gate stay in XLA (they involve loop scalars)
+            key, skey = jax.random.split(key)
             t, o2, v2, w2, f2, c2, nxt = trace_fused_step(
                 scene, o, v, w, frac, color, live=active,
-                specular=opts.specular)
+                specular=opts.specular, key=skey)
             hit_raw = t < BIG * 0.5
             hit = hit_raw & active
             nrays = (nrays + active.sum()
                      + hit.sum() * n_shadow_lights).astype(nrays.dtype)
-            key, _ = jax.random.split(key)
             prim_depth = jnp.where(hit_raw & (t > EPSILON), 1.0 / t, 0.0)
             depth = jnp.where(it == 0, prim_depth.astype(dt), depth)
             nxt = nxt & (it + 2 <= max_depth)
             return (it + 1, nxt, o2, v2, w2, f2, c2, depth, nrays, key)
 
+        key, skey = jax.random.split(key)
         tr, fused_local = _trace_with_lights(scene, o, v, active,
-                                             opts.specular)
+                                             opts.specular, key=skey)
         hit = tr.hit & active
         nrays = (nrays + active.sum()
                  + hit.sum() * n_shadow_lights).astype(nrays.dtype)
 
-        key, skey = jax.random.split(key)
         if fused_local is None:
             local = apply_lights(scene, o, v, tr, hit, key=skey,
                                  specular=opts.specular)
@@ -388,15 +390,15 @@ def _stack_loop(scene, R, dt, opts):
         co, cv = pop(st_o, j), pop(st_v, j)
         cw, cf, cd = pop(st_w, j), pop(st_f, j), pop(st_d, j)
 
+        key, skey = jax.random.split(key)
         tr, fused_local = _trace_with_lights(scene, co, cv, valid,
-                                             opts.specular)
+                                             opts.specular, key=skey)
         hit = tr.hit & valid
         # rays-traced accounting (the Mrays/s benchmark metric): one trace
         # per live path node + one shadow trace per non-ambient light per hit
         nrays = (nrays + valid.sum()
                  + hit.sum() * n_shadow_lights).astype(nrays.dtype)
 
-        key, skey = jax.random.split(key)
         if fused_local is None:
             local = apply_lights(scene, co, cv, tr, hit, key=skey,
                                  specular=opts.specular)

@@ -678,9 +678,11 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
     def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
                qoff_ref, qslab_ref, qgt_ref, qgp_ref, fct_ref, hf_ref,
                mat_ref, rank_ref, bnd_ref, prop_ref, lvec_ref, *rest):
+        n_area = fused.count("a")
         lists = rest[:nf]
         counts = rest[nf:2 * nf]
-        rest = rest[2 * nf:]
+        area_refs = rest[2 * nf:2 * nf + n_area]
+        rest = rest[2 * nf + n_area:]
         if carry:
             (o_ref, v_ref, t_ref, m_ref, n_ref, pr_ref, w_ref, f_ref,
              c_ref, lv_ref, o2_ref, v2_ref, w2_ref, f2_ref, c2_ref,
@@ -762,6 +764,7 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
         out_rgb = [wc[j] * lvec_ref[j] for j in range(3)]
 
         off = 6
+        a_i = 0
         for li, lkind in enumerate(fused):
             lcol = [lvec_ref[off + j] for j in range(3)]
             lspec = [lvec_ref[off + 3 + j] for j in range(3)]
@@ -780,8 +783,14 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
                 ldist2 = 1.0             # ndt.c:252-258
                 rl_dot_n = -sum(u[d] * nrm1[d] for d in range(D))
             else:
-                lp = [lvec_ref[off + d] for d in range(D)]
-                off += D
+                if lkind == "a":
+                    # DISK/RECT: the per-ray sampled surface point, then
+                    # treated exactly like a point light (ndt.c:143-147)
+                    lp = [area_refs[a_i][d] for d in range(D)]
+                    a_i += 1
+                else:
+                    lp = [lvec_ref[off + d] for d in range(D)]
+                    off += D
                 if lkind == "s":
                     sdir = [lvec_ref[off + d] for d in range(D)]
                     ccut = lvec_ref[off + D]
@@ -880,13 +889,17 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
                                              "interpret"))
 def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
                  meta: PallasMeta, fused: tuple, fused_spec: bool = True,
-                 interpret: bool = False, carry=None):
+                 interpret: bool = False, carry=None, area=()):
     """Fused apply_lights over the closest-hit pass's outputs.
 
     o, v: [R, D] f32 (R a multiple of RT); t [R]; mat [R] i32; nrm [R, D];
     props [R, N_PROPS]; lvec: flat light table; culls: per fused light
     (lists [n_tiles, N], counts [n_tiles, N_FAMS]) over that light's shadow
     rays (from trace.fused_light_info / cull_lists).
+
+    ``area``: per fused 'a' (DISK/RECT) light, its per-ray sampled surface
+    point [R, D] (ndt.c:116-147), in fused order -- travels to the kernel
+    as a VMEM ray-shaped array and is consumed as that light's position.
 
     Without ``carry``: returns the local color [R, 3].  With
     ``carry = (w [R,3], frac [R], color [R,3], live [R] bool)``: also runs
@@ -921,6 +934,8 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
 
     lists_in = [c[0][:, None, :] for c in culls]
     counts_in = [c[1][:, None, :] for c in culls]
+    area_in = [_to_tiles(a, R) for a in area]
+    assert len(area) == fused.count("a"), (len(area), fused)
 
     base_in = [o_t, v_t, t_t, m_t.astype(jnp.int32), n_t, p_t]
     base_spec = [ray_spec, ray_spec, one_spec, one_spec, ray_spec,
@@ -948,12 +963,12 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
         kernel,
         grid=(R // RT,),
         in_specs=([smem()] * 17 + [list_spec] * nf + [cnt_spec] * nf
-                  + base_spec + extra_spec),
+                  + [ray_spec] * len(area_in) + base_spec + extra_spec),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*params, lvec.astype(jnp.float32), *lists_in, *counts_in,
-      *base_in, *extra_in)
+      *area_in, *base_in, *extra_in)
     if carry is None:
         return out.reshape(3, R).T
     o2, v2, w2, f2, c2, nxt = out

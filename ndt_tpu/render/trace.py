@@ -125,14 +125,17 @@ def fused_light_info(scene):
     closest-hit megakernel, else None.
 
     Fusable: single SMEM chunk (the in-kernel shadow pass must see every
-    object; facet/hfacet families are in-kernel for single-chunk scenes)
-    and only point/spot/directional lights (area lights sample a random
-    surface point per shading event, ndt.c:116-147, which would have to
-    travel to the kernel as a full per-ray array).
+    object; facet/hfacet families are in-kernel for single-chunk scenes).
+    All six light types qualify: point/spot/directional read their
+    geometry from SMEM constants, and DISK/RECT area lights ('a') ship
+    their per-ray sampled surface point (ndt.c:116-147: one random point
+    per shading event, then treated as a point light) to the kernel as a
+    VMEM ray-shaped array -- see trace_fused/_step's area_positions.
 
     Table layout (flat f32): [ambient_total(3), background(3)] then per
     light [color(3), spec_color(3), kind-specific: pos(D) for 'p';
-    pos(D), unit_dir(D), cos_cutoff(1) for 's'; unit_dir(D) for 'd']."""
+    pos(D), unit_dir(D), cos_cutoff(1) for 's'; unit_dir(D) for 'd';
+    nothing for 'a' (position is per-ray)]."""
     if scene.pmeta is None or len(scene.pmeta) != 1:
         return None
     f32 = jnp.float32
@@ -144,8 +147,6 @@ def fused_light_info(scene):
     for light in scene.lights:
         if light.kind == 0:
             continue
-        if light.kind in (4, 5):                  # disk/rect area lights
-            return None
         lcol = jnp.asarray(light.color, f32)
         # the C divides by max_light unguarded (ndt.c:302-305); guard so a
         # degenerate zero-color light contributes 0 instead of NaN
@@ -166,6 +167,8 @@ def fused_light_info(scene):
                     1e-4)) | (deg >= 180.0),
                 jnp.float32(-2.0), jnp.cos(deg * jnp.float32(np.pi / 180)))
             parts += [light.pos.astype(f32), udir, cut[None]]
+        elif light.kind in (4, 5):                # disk/rect area lights
+            kinds.append("a")                     # position is per-ray
         else:                                     # point
             kinds.append("p")
             parts.append(light.pos.astype(f32))
@@ -175,7 +178,38 @@ def fused_light_info(scene):
         [jnp.ravel(p).astype(f32) for p in parts])
 
 
-def _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p):
+def _area_positions(scene, kinds, key, R):
+    """Per-ray sampled surface points for each fused 'a' (DISK/RECT) light
+    (ndt.c:116-141: one random point per shading event), keyed exactly like
+    the jnp path (shade.apply_lights folds the light's index in
+    scene.lights into the key).  Returns {fused_index: [R, D]}."""
+    import jax
+
+    from ndt_tpu.render.shade import _sample_area_light
+
+    out = {}
+    fi = 0
+    for li, light in enumerate(scene.lights):
+        if light.kind == 0:
+            continue
+        if kinds[fi] == "a":
+            lkey = (jax.random.fold_in(key, li) if key is not None
+                    else jax.random.PRNGKey(li))
+            out[fi] = _sample_area_light(light, lkey, (R,))
+        fi += 1
+    return out
+
+
+def _pad_area(area, R_pad, R):
+    if R_pad == R:
+        return area
+    return {fi: jnp.concatenate(
+        [a, jnp.ones((R_pad - R, a.shape[1]), a.dtype)])
+        for fi, a in area.items()}
+
+
+def _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p,
+                  area=None):
     """Per-light shadow-ray cull lists (vectorized XLA interval arithmetic,
     the exact pass the trace kernel's lists come from): each light's shadow
     ray set is derived from the closest-hit distances, culled per tile, and
@@ -188,13 +222,20 @@ def _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p):
     D = o_p.shape[1]
     culls = []
     off = 6                                   # ambient(3) + background(3)
-    for kind in kinds:
+    for fi, kind in enumerate(kinds):
         off += 6                              # lcolor + spec color
         if kind == "d":
             u = lvec[off:off + D]
             off += D
             o_s = p - u[None, :] * EPSILON
             v_s = jnp.broadcast_to(-u[None, :], p.shape)
+        elif kind == "a":
+            lp = area[fi]                     # [R, D] sampled positions
+            sd = p - lp
+            inv = 1.0 / jnp.maximum(
+                jnp.sqrt((sd * sd).sum(-1, keepdims=True)), 1e-20)
+            o_s = lp
+            v_s = sd * inv
         else:
             lp = lvec[off:off + D]
             off += D + (D + 1 if kind == "s" else 0)
@@ -208,7 +249,7 @@ def _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p):
 
 
 def trace_fused_step(scene: SceneData, o, v, w, frac, color, live=None,
-                     specular=True):
+                     specular=True, key=None):
     """One whole chain-mode bounce iteration in two kernel launches: the
     closest-hit megakernel, then the shade kernel in CARRY mode, which --
     beyond the fused apply_lights -- also folds in the engine's bounce-loop
@@ -241,17 +282,22 @@ def trace_fused_step(scene: SceneData, o, v, w, frac, color, live=None,
     t, mat, nrm, props = pallas_trace(tables, o_p, v_p, aux, meta,
                                       "closest", interpret=interpret,
                                       live=live_p)
-    culls = _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p)
+    area = _pad_area(_area_positions(scene, kinds, key, R),
+                     o_p.shape[0], R)
+    culls = _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p,
+                          area)
     live_in = (jnp.ones_like(t, dtype=bool) if live_p is None else live_p)
     o2, v2, w2, f2, c2, nxt = pallas_shade(
         tables, o_p, v_p, t, mat, nrm, props, lvec, culls, meta, kinds,
         fused_spec=specular, interpret=interpret,
-        carry=(w, frac, color, live_in))
+        carry=(w, frac, color, live_in),
+        area=tuple(area[fi] for fi in sorted(area)))
     return (t[:R], o2[:R], v2[:R], w2[:R], f2[:R], c2[:R],
             nxt[:R] > 0.5)
 
 
-def trace_fused(scene: SceneData, o, v, live=None, specular=True):
+def trace_fused(scene: SceneData, o, v, live=None, specular=True,
+                key=None):
     """Closest hit + the complete local shading in TWO kernel launches
     (pallas path only; caller must have checked fused_light_info): the
     closest-hit megakernel, then the fused shading kernel, whose per-light
@@ -280,10 +326,14 @@ def trace_fused(scene: SceneData, o, v, live=None, specular=True):
                                       "closest", interpret=interpret,
                                       live=live_p)
 
-    culls = _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p)
+    area = _pad_area(_area_positions(scene, kinds, key, R),
+                     o_p.shape[0], R)
+    culls = _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p,
+                          area)
     local = pallas_shade(tables, o_p, v_p, t, mat, nrm, props, lvec,
                          culls, meta, kinds, fused_spec=specular,
-                         interpret=interpret)
+                         interpret=interpret,
+                         area=tuple(area[fi] for fi in sorted(area)))
 
     t, mat, nrm = t[:R], mat[:R], nrm[:R]
     local = local[:R]

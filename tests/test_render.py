@@ -454,3 +454,135 @@ def test_fused_shading_specular_toggle():
     np.testing.assert_allclose(c_fs, c_us, atol=2e-5)
     np.testing.assert_allclose(c_fp, c_up, atol=2e-5)
     assert np.abs(c_fs - c_fp).max() > 1e-3   # specular actually differs
+
+
+def _render_impls(sd, scn, opts, W, H, impls):
+    """Render the same rays under several (trace_impl, fused) configs."""
+    from ndt_tpu.render import engine
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.render.engine import gen_rays, render_rays
+
+    cd = scn.cam.data(np.float32)
+    xs = np.linspace(-0.5, 0.5, W, dtype=np.float32)
+    ys = np.linspace(-0.5, 0.5, H, dtype=np.float32)
+    xg, yg = np.meshgrid(xs, ys)
+    key = jax.random.PRNGKey(0)
+    o, v = gen_rays(cd, jnp.asarray(xg.ravel()), jnp.asarray(yg.ravel()),
+                    key, opts, "center", False, False)
+    runs = {}
+    old = engine._FUSED_SHADOW
+    try:
+        for name, impl, fuse in impls:
+            trace_mod.set_trace_impl(impl)
+            engine._FUSED_SHADOW = fuse
+            runs[name] = np.asarray(render_rays(sd, o, v, key, opts)[0])
+    finally:
+        trace_mod.set_trace_impl("auto")
+        engine._FUSED_SHADOW = old
+    return runs
+
+
+@pytest.mark.parametrize("kind", ["DISK", "RECT"])
+def test_fused_area_light_matches_jnp(kind):
+    """DISK/RECT area lights now run in the fused in-kernel shading path:
+    the per-ray sampled light position (ndt.c:116-147) travels to the shade
+    kernel as a VMEM array.  Same keys => identical sample points, so the
+    fused render must match the jnp path."""
+    from ndt_tpu.render.trace import fused_light_info
+    from ndt_tpu.scene.model import LightType
+
+    scn = _area_light_scene(LightType[kind])
+    sd = jax.device_put(compile_scene(scn, np.float32))
+    assert fused_light_info(sd) is not None
+    assert fused_light_info(sd)[0] == ("a",)
+    W = H = 32
+    opts = RenderOptions(width=W, height=H, samples=1, tile=W * H,
+                         compact=0)
+    runs = _render_impls(sd, scn, opts, W, H,
+                         (("jnp", "jnp", False),
+                          ("fused", "pallas-interpret", True)))
+    d = np.abs(runs["fused"] - runs["jnp"])
+    assert (d.max(axis=1) > 1e-3).mean() < 0.002, d.max()
+
+
+def test_facet_scene_in_megakernel():
+    """The built-in test scene (hplane + spheres + facet + hcylinder,
+    scene.c:429-571) has a facet, which previously forced the XLA fallback;
+    the megakernel now evaluates facet/hfacet families in-kernel and the
+    scene qualifies for fused shading."""
+    from ndt_tpu.render.trace import fused_light_info
+
+    mod = get_scene("test")
+    scn = Scene("test", 4)
+    mod.scene_setup(scn, 4, 0, 300, None)
+    scn.cam.aim()
+    sd = jax.device_put(compile_scene(scn, np.float32))
+    assert sd.pmeta is not None and len(sd.pmeta) == 1
+    assert sd.pmeta[0].n_fct == 1
+    assert fused_light_info(sd) is not None
+    W = H = 48
+    opts = RenderOptions(width=W, height=H, samples=1, tile=W * H,
+                         compact=0)
+    runs = _render_impls(sd, scn, opts, W, H,
+                         (("jnp", "jnp", False),
+                          ("pl", "pallas-interpret", False),
+                          ("plf", "pallas-interpret", True)))
+    for k in ("pl", "plf"):
+        d = np.abs(runs[k] - runs["jnp"])
+        # knife-edge silhouette/shadow pixels may flip in f32; bulk must match
+        assert (d.max(axis=1) > 1e-3).mean() < 0.005, (k, d.max())
+
+
+def test_hfacet_in_megakernel():
+    """hfacet's in-kernel eval (ones-solve + barycentric + per-ray
+    bounding gate + both normal modes, hfacet.c:211-310) must reproduce
+    the jnp kernel (up to f32 op-order noise and isolated knife-edge
+    pixels) on a scene with interpolated-normal and observer-normal
+    hfacets."""
+    from ndt_tpu.scene.model import LightType
+
+    scn = Scene("hf", 4)
+    floor = scn.add_object("hplane", "floor")
+    floor.add_pos(np.array([0., -2., 0., 0.]))
+    floor.add_dir(np.array([0., 1., 0., 0.]))
+    floor.set_color(0.8, 0.8, 0.8)
+    hf = scn.add_object("hfacet", "tri")
+    hf.add_pos(np.array([-2., 0., 8., 0.]))
+    hf.add_pos(np.array([2., 0., 9., 0.]))
+    hf.add_pos(np.array([0., 3., 8.5, 0.]))
+    for _ in range(3):
+        hf.add_dir(np.array([0., 0., -1., 0.]))
+    hf.add_flag(1)                      # barycentric vertex normals
+    hf.set_color(0.9, 0.3, 0.2)
+    hf2 = scn.add_object("hfacet", "tri2")
+    hf2.add_pos(np.array([1., -1., 6., 0.5]))
+    hf2.add_pos(np.array([3., -1., 7., 0.5]))
+    hf2.add_pos(np.array([2., 1., 6.5, 0.5]))
+    for _ in range(3):
+        hf2.add_dir(np.array([0., 0., -1., 0.]))
+    hf2.add_flag(0)                     # observer-side normal
+    hf2.set_color(0.2, 0.4, 0.9)
+    sph = scn.add_object("sphere", "s")
+    sph.add_pos(np.array([-1.5, -0.5, 6., 0.])).add_size(0.8)
+    sph.set_color(0.4, 0.9, 0.4)
+    sph.set_reflect(0.4, 0.4, 0.4)
+    lgt = scn.add_light(LightType.POINT)
+    lgt.pos = np.array([3., 8., 2., 0.])
+    lgt.set_color(80, 80, 80)
+    scn.ambient = np.array([0.3, 0.3, 0.3])
+    scn.cam.set_aim(np.array([0., 1., -4., 0.]),
+                    np.array([0., 0.5, 8., 0.]),
+                    np.array([0., 1., 0., 0.]))
+    sd = jax.device_put(compile_scene(scn, np.float32))
+    assert sd.pmeta[0].n_hf == 2
+    W = H = 48
+    opts = RenderOptions(width=W, height=H, samples=1, tile=W * H,
+                         compact=0)
+    runs = _render_impls(sd, scn, opts, W, H,
+                         (("jnp", "jnp", False),
+                          ("pl", "pallas-interpret", False),
+                          ("plf", "pallas-interpret", True)))
+    assert runs["jnp"].std() > 0.01    # scene renders non-trivially
+    for k in ("pl", "plf"):
+        d = np.abs(runs[k] - runs["jnp"])
+        assert (d.max(axis=1) > 1e-3).mean() < 0.002, (k, d.max())
