@@ -1,103 +1,185 @@
 #!/usr/bin/env python
-"""Benchmark: the 4-D `balls` scene at 1080p on one chip (BASELINE.md).
+"""Benchmark: all 5 BASELINE.md configs on one chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N/100}
+Prints ONE JSON line.  The headline metric stays config 1 (4-D balls at
+1080p, the north-star 100 Mrays/s/chip target); configs 2-5 (hypercube
+rotation + reflective 'walls' variant, random with culling, 5-D cluster,
+6-D YAML-animation frame rendered through the mesh-sharded path) are
+recorded in detail.configs so perf regressions on any workload shape are
+visible round to round.
 
-Methodology: the full render (camera rays, per-light shadow rays, reflection
-bounces -- each trace counts as a ray, matching a CPU tracer's accounting)
-runs on-device and is forced with a checksum reduction, so the number
-measures rendering throughput.  The framebuffer download is reported
-separately in "detail" (in this dev harness device<->host goes through a
-network tunnel that a production host's PCIe link does not have).
+Methodology: the full render (camera rays, per-light shadow rays,
+reflection bounces -- each trace counts as a ray, matching a CPU tracer's
+accounting) runs on-device and is forced with a checksum reduction; a
+(K_hi - K_lo)-frame slope isolates pure device time from this dev
+harness's per-dispatch tunnel latency (~25 ms, absent on a production
+PCIe-attached host).  NDT_BENCH_CONFIGS=1 limits the run to config 1.
 """
 
 import json
+import os
 import sys
 import time
 
 
-def main():
-    import numpy as np
+def _build(scene_key, dim, width, height, frame=0, config=None):
     import dataclasses
 
+    import numpy as np
     import jax
-    import jax.numpy as jnp
 
-    from ndt_tpu.render.engine import (RenderOptions, _blocked_perm,
-                                       _pixel_grid, gen_rays, render_rays)
+    from ndt_tpu.render.engine import _blocked_perm, _pixel_grid
     from ndt_tpu.scene.compile import compile_scene
     from ndt_tpu.scene.model import Scene
     from ndt_tpu.scenes import get_scene
 
-    width, height = 1920, 1080
-    mod = get_scene("balls")
-    scn = Scene("balls", 4)
-    mod.scene_setup(scn, 4, 0, 1500)
-    scn.cam.aim()
+    import jax.numpy as jnp
+
+    mod = get_scene(scene_key)
+    scn = Scene(scene_key, dim)
+    total = mod.scene_frames(dim, config) if hasattr(mod, "scene_frames") \
+        else 300
+    mod.scene_setup(scn, dim, frame, total, config)
+    if hasattr(mod, "scene_cleanup"):
+        mod.scene_cleanup()
+    if not scn.cam.prepared:
+        scn.cam.aim()
 
     dt = np.float32
     scene_data = jax.device_put(compile_scene(scn, dt))
-    cam_data = dataclasses.replace(
-        scn.cam.data(dt), dir_x=scn.cam.data(dt).dir_x * dt(width / height))
+    cam = scn.cam.data(dt)
+    cam = dataclasses.replace(cam, dir_x=cam.dir_x * dt(width / height))
 
     xx, yy = _pixel_grid(width, height, np.dtype(dt))
-    perm, inv = _blocked_perm(width, height)
-    R = 1 << 21
-    pad = R - xx.size
+    perm, _ = _blocked_perm(width, height)
+    from ndt_tpu.render.engine import RenderOptions
+    from ndt_tpu.render.pallas_trace import RT
+    R = xx.size
+    # pad to the two-level compaction granularity so the bounce loop takes
+    # the block-gather fast path (engine._render_rays_chain)
+    c = RenderOptions.compact
+    pad = (-R) % (RT * c * c)
     x = jnp.asarray(np.concatenate([xx.ravel()[perm], np.zeros(pad, dt)]))
     y = jnp.asarray(np.concatenate([yy.ravel()[perm], np.zeros(pad, dt)]))
-    key = jax.random.PRNGKey(0)
-    opts = RenderOptions(width=width, height=height, samples=1, tile=R)
+    return scene_data, cam, x, y
 
-    rays_fn = jax.jit(
-        lambda s, x, y, k: render_rays(
-            s, *gen_rays(cam_data, x, y, k, opts, "center", False, False),
-            k, opts),
-        static_argnames=())
+
+def _measure(scene_data, cam, x, y, opts, K_hi=8, reps=5, sharded=False):
+    """(mrays, rays_per_frame, s_per_frame_device) via the K-slope."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndt_tpu.render.engine import gen_rays, render_rays
+
+    if sharded:
+        # the -b r tile-sharded path (mesh over all local chips -- 1 in
+        # this harness; the multi-chip shard_map program shape is what's
+        # timed: per-chip it is the unmodified single-device render)
+        from jax.sharding import PartitionSpec as P
+
+        from ndt_tpu.parallel.mesh import make_pixel_mesh, replicate
+        mesh = make_pixel_mesh()
+        scene_data = replicate(mesh, scene_data)
+
+        def _core(s, xs, ys, k):
+            o, v = gen_rays(cam, xs, ys, k, opts, "center", False, False)
+            c, d, n = render_rays(s, o, v, k, opts)
+            return c, d, jax.lax.psum(n, "px")
+
+        def render1(s, x, y, k):
+            return jax.shard_map(
+                _core, mesh=mesh,
+                in_specs=(P(), P("px"), P("px"), P()),
+                out_specs=(P("px"), P("px"), P()),
+                check_vma=False)(s, x, y, k)
+    else:
+        def render1(s, x, y, k):
+            o, v = gen_rays(cam, x, y, k, opts, "center", False, False)
+            return render_rays(s, o, v, k, opts)
 
     def make_k(K):
-        """K chained frame renders in ONE device program, forced by a
-        scalar checksum: the (K_hi - K_lo) slope isolates pure device time
-        from this harness's per-dispatch tunnel latency (~25 ms, absent on
-        a production PCIe-attached host)."""
         @jax.jit
         def f(s, x, y, k):
             def body(i, acc):
-                o, v = gen_rays(cam_data, x, y, jax.random.fold_in(k, i),
-                                opts, "center", False, False)
-                c, d, n = render_rays(s, o, v, jax.random.fold_in(k, i),
-                                      opts)
+                c, d, n = render1(s, x, y, jax.random.fold_in(k, i))
                 return acc + c.sum() + d.sum() + n.astype(jnp.float32)
             return jax.lax.fori_loop(0, K, body, jnp.float32(0))
         return f
 
-    nrays = int(jax.jit(lambda s, x, y, k: rays_fn(s, x, y, k)[2])(
+    key = jax.random.PRNGKey(0)
+    nrays = int(jax.jit(lambda s, x, y, k: render1(s, x, y, k)[2])(
         scene_data, x, y, key))
 
-    reps = 7
     timed = {}
-    for K in (1, 16):
+    for K in (1, K_hi):
         f = make_k(K)
         _ = float(f(scene_data, x, y, key))           # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            chk = float(f(scene_data, x, y, key))
+            _ = float(f(scene_data, x, y, key))
             ts.append(time.perf_counter() - t0)
         ts.sort()
-        timed[K] = ts[len(ts) // 2]                   # median: the dispatch
-        # tunnel in this harness adds +-3 ms jitter per execution
-    render_s = (timed[16] - timed[1]) / 15
+        timed[K] = ts[len(ts) // 2]
+    render_s = max((timed[K_hi] - timed[1]) / (K_hi - 1), 1e-9)
     dispatch_s = timed[1] - render_s
+    return nrays / render_s / 1e6, nrays, render_s, dispatch_s
 
-    # end-to-end including the framebuffer download through this harness's
-    # device tunnel (one frame)
+
+def main():
+    import numpy as np
+
+    import jax
+
+    from ndt_tpu.render.engine import RenderOptions
+
+    only1 = os.environ.get("NDT_BENCH_CONFIGS") == "1"
+
+    # ---- config 1 (headline): 4-D balls @1080p --------------------------
+    W, H = 1920, 1080
+    sd, cam, x, y = _build("balls", 4, W, H, frame=0)
+    opts = RenderOptions(width=W, height=H, samples=1, tile=x.size)
+    mrays, nrays, render_s, dispatch_s = _measure(sd, cam, x, y, opts,
+                                                  K_hi=16, reps=7)
+
+    # end-to-end including framebuffer download through the dev tunnel
+    import jax.numpy as jnp
+
+    from ndt_tpu.render.engine import gen_rays, render_rays
+    rays_fn = jax.jit(lambda s, x, y, k: render_rays(
+        s, *gen_rays(cam, x, y, k, opts, "center", False, False), k, opts))
     t0 = time.perf_counter()
-    img = np.asarray(rays_fn(scene_data, x, y, key)[0])
+    _ = np.asarray(rays_fn(sd, x, y, jax.random.PRNGKey(0))[0])
     e2e_s = time.perf_counter() - t0
 
-    mrays = nrays / render_s / 1e6
+    configs = {}
+    if not only1:
+        specs = [
+            # (name, scene, dim, W, H, frame, config, sharded)
+            ("hypercube", "hypercube", 4, 640, 480, 10, None, False),
+            ("hypercube_walls", "hypercube", 4, 640, 480, 10, "walls",
+             False),
+            ("random150_5d", "random", 5, 640, 480, 0, "150", False),
+            ("cluster5d", "cluster5d", 5, 640, 480, 0, None, False),
+            ("anim6d_sharded", "anim6d", 6, 640, 480, 1, None, True),
+        ]
+        for name, key_, dim, w, h, fr, cfg, sh in specs:
+            try:
+                sdc, camc, xc, yc = _build(key_, dim, w, h, frame=fr,
+                                           config=cfg)
+                oc = RenderOptions(width=w, height=h, samples=1,
+                                   tile=xc.size)
+                m, n, rs, ds = _measure(sdc, camc, xc, yc, oc, K_hi=8,
+                                        reps=5, sharded=sh)
+                configs[name] = {
+                    "mrays_per_s": round(m, 2),
+                    "rays_per_frame": n,
+                    "seconds_per_frame_device": round(rs, 5),
+                    "resolution": f"{w}x{h}",
+                }
+            except Exception as e:  # record, never sink the headline
+                configs[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     baseline = 100.0  # Mrays/s/chip north star (BASELINE.json)
     print(json.dumps({
         "metric": "Mrays/s/chip (4-D balls @1080p)",
@@ -109,7 +191,8 @@ def main():
             "seconds_per_frame_device": round(render_s, 4),
             "harness_dispatch_overhead_s": round(dispatch_s, 4),
             "seconds_incl_host_download": round(e2e_s, 4),
-            "resolution": f"{width}x{height}",
+            "resolution": "1920x1080",
+            "configs": configs,
         },
     }))
 

@@ -188,11 +188,9 @@ def main(argv=None):
         width=width, height=height, samples=args.samples,
         max_optic_depth=max_depth, stereo=stereo,
         specular=not args.no_specular, record_depth=args.depth_map,
-        whitted=args.whitted and stereo == "mono",
+        whitted=args.whitted,
         aa_diff=aa_diff, aa_depth=aa_depth,
         seed=0, devices=mesh)
-    if args.whitted and stereo != "mono":
-        print("warning: -w currently applies to mono rendering only")
 
     # "f" covers both reference modes -b f (FRAME: rank 0 coordinates) and
     # -b F (FRAME2: every rank renders, ndt.c:55-56) -- dist_mode is

@@ -57,28 +57,64 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sh)
 
 
+def render_rays_sharded(scene_data, o, v, key, opts, mesh: Mesh):
+    """Render a pre-generated ray batch with rays sharded across the mesh
+    (used by the adaptive sampler so `-b r` composes with samples > 1).
+    o, v: [R, D] with R divisible by the mesh size."""
+    from ndt_tpu.render.engine import render_rays
+
+    scene_r = replicate(mesh, scene_data)
+    o_s, v_s = shard_rays(mesh, jnp.asarray(o), jnp.asarray(v))
+
+    def body(scene, os_, vs_, k):
+        c, d, n = render_rays(scene, os_, vs_, k, opts)
+        return c, d, jax.lax.psum(n, "px")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("px"), P("px"), P()),
+        out_specs=(P("px"), P("px"), P()),
+        check_vma=False))
+    color, depth, nrays = fn(scene_r, o_s, v_s, key)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        color = multihost_utils.process_allgather(color, tiled=True)
+        depth = multihost_utils.process_allgather(depth, tiled=True)
+    return color, depth, nrays
+
+
 def render_grid_sharded(scene_data, cam_data, x, y, key, opts, mesh: Mesh,
                         eye: str = "center"):
     """Render a flat pixel grid with rays sharded across the mesh.
 
-    x, y: [R] with R divisible by mesh size (callers pad).  Tracing is
-    data-parallel over rays, so GSPMD partitions every [R, N] and [R, D]
-    tensor on the ray axis with zero communication; the only collective is
-    the implicit gather when the caller pulls the framebuffer to host.
+    x, y: [R] with R divisible by mesh size (callers pad).  The mesh program
+    is `shard_map`: each chip runs the UNMODIFIED single-device render
+    (pallas megakernels, chip-local bounce compaction) on its R/n slice of
+    the ray batch -- tracing is embarrassingly parallel, so the per-device
+    program is byte-identical to the single-chip one and the only
+    collectives are the nrays psum and the framebuffer gather when the
+    caller pulls the image to host.  (GSPMD auto-partitioning of the same
+    program measured 100x slower device time + 7x compile time through the
+    partitioner, even on a 1-device mesh -- the while-loop + pallas
+    custom-call mix defeats it; manual sharding is the TPU-native shape.)
     """
-    import dataclasses
-
     from ndt_tpu.render.engine import render_tile_fused as render_tile
 
-    # bounce-survivor compaction is a global scatter: under GSPMD it would
-    # lower to cross-chip collectives mid-trace, so the sharded path keeps
-    # the loop full-width (rays stay chip-local, zero communication)
-    opts = dataclasses.replace(opts, compact=0)
     scene_r = replicate(mesh, scene_data)
     cam_r = replicate(mesh, cam_data)
     x_s, y_s = shard_rays(mesh, jnp.asarray(x), jnp.asarray(y))
-    color, depth, nrays = render_tile(scene_r, cam_r, x_s, y_s, key, opts,
-                                      eye)
+
+    def body(scene, cam, xs, ys, k):
+        c, d, n = render_tile(scene, cam, xs, ys, k, opts, eye)
+        return c, d, jax.lax.psum(n, "px")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("px"), P("px"), P()),
+        out_specs=(P("px"), P("px"), P()),
+        check_vma=False))
+    color, depth, nrays = fn(scene_r, cam_r, x_s, y_s, key)
     if jax.process_count() > 1:
         # image collect (ndt.c:1277-1309's tree reduction): all-gather the
         # px-sharded framebuffer so every process holds the full frame

@@ -34,16 +34,20 @@ from ndt_tpu.render.engine import (RenderOptions, gen_rays,
                                    render_rays_chunked)
 
 
-def _render_points(scene_data, cam_data, gx, gy, gw, gh, key, opts, eye,
+def _render_points(scene_data, cam_data, gx, gy, amap, key, opts, eye,
                    aperture):
     """Render samples at fractional corner-grid coordinates (gx, gy) using
-    the render_pixel mapping x = gx/gw - 0.5, y = -(gy/gh - 0.5)
-    (ndt.c:629-633 with the corner grid's width+1/height+1)."""
+    the affine screen mapping x = ax*gx + bx, y = ay*gy + by with
+    amap = (ax, bx, ay, by).  The mono mapping is ax = 1/(W+1), bx = -0.5,
+    ay = -1/(H+1), by = 0.5 (ndt.c:629-633 with the corner grid's
+    width+1/height+1); stereo eye panels use their layout's scaling
+    (ndt.c:590-630)."""
     from ndt_tpu.render.pallas_trace import RT
 
+    ax, bx, ay, by = amap
     dt = np.dtype(opts.dtype)
-    x = (gx / gw - 0.5).astype(dt)
-    y = (-(gy / gh - 0.5)).astype(dt)
+    x = (ax * gx + bx).astype(dt)
+    y = (ay * gy + by).astype(dt)
     P = len(x)
     pad = (-P) % RT
     if pad:
@@ -58,11 +62,17 @@ def _render_points(scene_data, cam_data, gx, gy, gw, gh, key, opts, eye,
 
 
 def whitted_refine(scene_data, cam_data, corners, opts: RenderOptions,
-                   aa_diff: int, aa_depth: int, key, eye="center"):
+                   aa_diff: int, aa_depth: int, key, eye="center",
+                   amap=None, size=None):
     """corners: [H+1, W+1, 3] pass-1 grid.  Returns ([H, W, 3] image,
-    resampled_pixel_count, extra_rays)."""
-    H, W = opts.height, opts.width
-    gw, gh = W + 1, H + 1
+    resampled_pixel_count, extra_rays).
+
+    ``size=(W, H)`` overrides the panel size (stereo eye panels are
+    smaller than the frame) and ``amap=(ax, bx, ay, by)`` the affine
+    corner-grid -> screen mapping (default: the mono layout)."""
+    W, H = size if size is not None else (opts.width, opts.height)
+    if amap is None:
+        amap = (1.0 / (W + 1), -0.5, -1.0 / (H + 1), 0.5)
     thresh = aa_diff / 255.0
 
     c1 = corners[:-1, :-1]   # (i, j)
@@ -108,7 +118,7 @@ def whitted_refine(scene_data, cam_data, corners, opts: RenderOptions,
         gy = np.concatenate([quads["y"] + hs, quads["y"], quads["y"] + hs,
                              quads["y"] + hs, quads["y"] + quads["step"]])
         key, skey = jax.random.split(key)
-        mids, nr = _render_points(scene_data, cam_data, gx, gy, gw, gh,
+        mids, nr = _render_points(scene_data, cam_data, gx, gy, amap,
                                   skey, opts, eye, aperture=True)
         extra_rays += nr
         p5, p6, p7, p8, p9 = (mids[k * n_q:(k + 1) * n_q] for k in range(5))
@@ -164,6 +174,12 @@ def render_adaptive_samples(scene_data, cam_data, x, y, key,
     from ndt_tpu.render.pallas_trace import RT
 
     dt = np.dtype(opts.dtype)
+    mesh = opts.devices        # -b r composes with adaptive sampling: each
+    n_dev = 1                  # round's compacted batch is mesh-sharded
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    batch_quantum = RT if RT % n_dev == 0 else RT * n_dev
+
     P = len(x)
     t_clr = np.zeros((P, 3), np.float64)
     depth0 = np.zeros(P, np.float64)
@@ -176,14 +192,20 @@ def render_adaptive_samples(scene_data, cam_data, x, y, key,
         key, skey = jax.random.split(key)
         xs = np.asarray(x)[active_idx]
         ys = np.asarray(y)[active_idx]
-        pad = (-len(xs)) % RT
+        pad = (-len(xs)) % batch_quantum
         xs_p = np.concatenate([xs, np.zeros(pad, dt)]).astype(dt)
         ys_p = np.concatenate([ys, np.zeros(pad, dt)]).astype(dt)
         o, v = jax.jit(gen_rays, static_argnames=("opts", "eye", "jitter",
                                                   "aperture"))(
             cam_data, jnp.asarray(xs_p), jnp.asarray(ys_p), skey, opts, eye,
             True, True)
-        c, d, n = render_rays_chunked(scene_data, o, v, skey, opts)
+        if mesh is not None:
+            from ndt_tpu.parallel.mesh import render_rays_sharded
+
+            c, d, n = render_rays_sharded(scene_data, o, v, skey, opts,
+                                          mesh)
+        else:
+            c, d, n = render_rays_chunked(scene_data, o, v, skey, opts)
         c = np.asarray(c)[:len(xs)]
         d = np.asarray(d)[:len(xs)]
         total_rays += int(n)

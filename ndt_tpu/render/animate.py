@@ -130,6 +130,11 @@ def render_animation_multidevice(scene_mod, dimensions: int, first: int,
         y = jax.device_put(jnp.asarray(yy.ravel()), dev)
         key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), i)
         c, d, n = render_tile_fused(sd, cd, x, y, key, opts, "center")
+        # overlap this frame's framebuffer download with the next frame's
+        # scene prep + dispatch
+        for a in (c, d):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
         pending.append((i, scn.name, c, d, n))
         # collect when every device has a frame in flight
         if len(pending) >= len(devices):

@@ -87,6 +87,9 @@ class RenderOptions:
 # fused in-kernel shadow tests (one megakernel launch per bounce instead of
 # closest + shadow + occlusion); NDT_FUSED_SHADOW=0 to fall back
 _FUSED_SHADOW = os.environ.get("NDT_FUSED_SHADOW", "1") != "0"
+# direction-octant re-sort of compacted bounce survivors (restores the
+# tile cull for divergent reflected rays); NDT_DIR_SORT=0 to disable
+_DIR_SORT = os.environ.get("NDT_DIR_SORT", "1") != "0"
 
 
 def _trace_with_lights(scene, o, v, live, specular, key=None):
@@ -280,6 +283,9 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     # Each level leaves a (usually zero-trip) overflow loop at its parent
     # width for live blocks beyond capacity.
     carry2, merge1, over1 = _block_compact(scene, carry, opts.compact)
+    if _DIR_SORT:
+        # restore direction coherence for the megakernel's tile cull
+        carry2, unsort1 = _dir_sort_chain(carry2)
     R2 = carry2[2].shape[0]
     cond2, body2 = _chain_loop(scene, R2, o.dtype, opts)
     carry2 = jax.lax.cond(cond2(carry2), body2, lambda c: c, carry2)
@@ -293,11 +299,57 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     # level-2 overflow: finish at level-1 width
     carry2 = jax.lax.while_loop(cond2, body2,
                                 carry2[:1] + (over2,) + carry2[2:])
+    if _DIR_SORT:
+        carry2 = unsort1(carry2)
     carry = merge1(carry, carry2)
 
     # level-1 overflow: finish at full width
     carry = jax.lax.while_loop(cond, body, carry[:1] + (over1,) + carry[2:])
     return carry[6], carry[7], carry[8]
+
+
+def _dir_sort_perm(v, active, blk=256):
+    """Permutation restoring direction coherence for compacted bounce rays.
+
+    The megakernel's per-tile interval cull (pallas_trace.cull_lists) needs
+    tight per-tile direction bounds; after a bounce off curved surfaces the
+    rays in a tile point every which way and the cull collapses to the full
+    object list -- the reference never faces this because its kd traversal
+    culls per ray (kd-tree.c:482-607).  Sorting the compacted survivors by
+    (direction octant, source block) re-groups rays so each RT tile spans
+    few octants (tight v intervals) with origins still clustered by screen
+    block (tight o intervals).  Dead lanes sort to the back, which also
+    concentrates liveness into fewer tiles.
+
+    Returns (perm, inv): sorted = a[perm], original = sorted[inv]."""
+    R, D = v.shape
+    octant = sum(((v[:, d] >= 0).astype(jnp.int32) << d) for d in range(D))
+    blk_id = jnp.arange(R, dtype=jnp.int32) // blk
+    nb = R // blk
+    key = jnp.where(active, octant * nb + blk_id, jnp.int32(1) << 30)
+    iota = jnp.arange(R, dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, iota, is_stable=True)
+    _, inv = jax.lax.sort_key_val(perm, iota, is_stable=True)
+    return perm, inv
+
+
+def _dir_sort_chain(carry):
+    """Apply _dir_sort_perm to a chain-loop carry; returns
+    (sorted_carry, unsort) where unsort(child_carry) restores the original
+    lane order of the per-lane outputs (color) so block-structured merges
+    stay valid."""
+    (it, active, o, v, w, frac, color, depth, nrays, key) = carry
+    perm, inv = _dir_sort_perm(v, active)
+    g = lambda a: a[perm]
+    sorted_carry = (it, g(active), g(o), g(v), g(w), g(frac), g(color),
+                    g(depth), nrays, key)
+
+    def unsort(child):
+        (it2, a2, o2, v2, w2, f2, c2, d2, n2, k2) = child
+        return (it2, a2[inv], o2[inv], v2[inv], w2[inv], f2[inv], c2[inv],
+                d2[inv], n2, k2)
+
+    return sorted_carry, unsort
 
 
 def _block_compact(scene, carry, divisor, blk=256):
@@ -459,11 +511,90 @@ def _stack_loop(scene, R, dt, opts):
 
 
 def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions):
-    """General scenes (reflection + refraction): per-ray bounce stack."""
+    """General scenes (reflection + refraction): per-ray bounce stack.
+
+    Same two-level block compaction as the chain loop: after the primary
+    iteration, only the 256-lane blocks whose stacks are non-empty are
+    gathered into an R/compact buffer (stack state travels with them --
+    the gathers move S x more bytes than chain mode, but the ~20 full-width
+    trace+shade iterations a refractive scene would otherwise pay dominate
+    by far), with a second compaction level and zero-trip overflow loops at
+    each parent width."""
+    R = o.shape[0]
     carry = _stack_init(scene, o, v, key, opts)
-    cond, body = _stack_loop(scene, o.shape[0], o.dtype, opts)
-    carry = jax.lax.while_loop(cond, body, carry)
+    cond, body = _stack_loop(scene, R, o.dtype, opts)
+
+    from ndt_tpu.render.pallas_trace import RT
+
+    if (opts.compact <= 1
+            or R % (RT * opts.compact * opts.compact) != 0):
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[7], carry[8], carry[9]
+
+    carry = body(carry)                       # primary node, full width
+
+    carry2, merge1, over1 = _stack_block_compact(scene, carry, opts.compact)
+    R2 = carry2[1].shape[0]
+    cond2, body2 = _stack_loop(scene, R2, o.dtype, opts)
+    carry2 = jax.lax.cond(cond2(carry2), body2, lambda c: c, carry2)
+
+    carry3, merge2, over2 = _stack_block_compact(scene, carry2,
+                                                 opts.compact)
+    R3 = carry3[1].shape[0]
+    cond3, body3 = _stack_loop(scene, R3, o.dtype, opts)
+    carry3 = jax.lax.while_loop(cond3, body3, carry3)
+    carry2 = merge2(carry2, carry3)
+
+    # level-2 overflow: finish at level-1 width
+    carry2 = jax.lax.while_loop(cond2, body2,
+                                carry2[:1] + (over2,) + carry2[2:])
+    carry = merge1(carry, carry2)
+
+    # level-1 overflow: finish at full width
+    carry = jax.lax.while_loop(cond, body, carry[:1] + (over1,) + carry[2:])
     return carry[7], carry[8], carry[9]
+
+
+def _stack_block_compact(scene, carry, divisor, blk=256):
+    """Stack-mode analog of _block_compact: gather 256-lane blocks with
+    non-empty stacks into a width/divisor buffer.  Returns
+    (compact_carry, merge, overflow_sp): ``overflow_sp`` is the parent's
+    stack-pointer vector with taken blocks zeroed, so the parent's
+    overflow loop finishes only the blocks beyond capacity."""
+    (it, sp, st_o, st_v, st_w, st_f, st_d, color, depth, nrays,
+     key1) = carry
+    R = sp.shape[0]
+    nb = R // blk
+    cap = nb // divisor
+    R2 = cap * blk
+    active = sp > 0
+    blk_live = active.reshape(nb, blk).any(1)
+    _, order = jax.lax.sort_key_val(
+        (~blk_live).astype(jnp.int32), jnp.arange(nb, dtype=jnp.int32),
+        is_stable=True)
+    src_blk = order[:cap]
+    rank = jnp.zeros((nb,), jnp.int32).at[order].set(
+        jnp.arange(nb, dtype=jnp.int32), unique_indices=True)
+    taken = rank < cap
+
+    def bgather(a):
+        return a.reshape((nb, blk) + a.shape[1:])[src_blk].reshape(
+            (R2,) + a.shape[1:])
+
+    carry2 = (it, bgather(sp), bgather(st_o), bgather(st_v), bgather(st_w),
+              bgather(st_f), bgather(st_d),
+              jnp.zeros((R2, 3), st_o.dtype), jnp.zeros((R2,), st_o.dtype),
+              jnp.zeros((), nrays.dtype), jax.random.fold_in(key1, 1))
+
+    def merge(parent, child):
+        color = parent[7].reshape(nb, blk, 3).at[src_blk].add(
+            child[7].reshape(cap, blk, 3),
+            unique_indices=True).reshape(R, 3)
+        return parent[:7] + (color, parent[8], parent[9] + child[9],
+                             parent[10])
+
+    over_sp = jnp.where(jnp.repeat(taken, blk), 0, sp)
+    return carry2, merge, over_sp
 
 
 # --------------------------------------------------------------------------
@@ -591,7 +722,16 @@ def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
     P = xx.size
     h, w = xx.shape
     perm, inv = _blocked_perm(w, h)
-    if opts.devices is not None and not (opts.adaptive and opts.samples > 1):
+    if opts.adaptive and opts.samples > 1:
+        # adaptive convergence sampling; mesh-sharded internally when
+        # opts.devices is set (-b r composes with -n samples)
+        from ndt_tpu.render.adaptive import render_adaptive_samples
+
+        c, d, n = render_adaptive_samples(
+            scene_data, cam_data, xx.ravel()[perm], yy.ravel()[perm], key,
+            opts, eye)
+        return c[inv], d[inv], n
+    if opts.devices is not None:
         # -b r/p: shard the whole grid over the device mesh (MPI row mode)
         from ndt_tpu.parallel.mesh import render_grid_sharded
 
@@ -603,27 +743,26 @@ def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
         c, d, n = render_grid_sharded(scene_data, cam_data, xf, yf, key,
                                       opts, mesh, eye)
         return np.asarray(c)[:P][inv], np.asarray(d)[:P][inv], int(n)
-    if opts.adaptive and opts.samples > 1:
-        from ndt_tpu.render.adaptive import render_adaptive_samples
-
-        c, d, n = render_adaptive_samples(
-            scene_data, cam_data, xx.ravel()[perm], yy.ravel()[perm], key,
-            opts, eye)
-        return c[inv], d[inv], n
     tile = min(opts.tile, max(1, P))
     pad = (-P) % tile
     xf = np.concatenate([xx.ravel()[perm], np.zeros(pad, xx.dtype)])
     yf = np.concatenate([yy.ravel()[perm], np.zeros(pad, yy.dtype)])
-    colors, depths = [], []
-    nrays = 0
+    pending = []
     for t0 in range(0, P + pad, tile):
         tkey = jax.random.fold_in(key, t0)
         c, d, n = render_tile(scene_data, cam_data,
                               jnp.asarray(xf[t0:t0 + tile]),
                               jnp.asarray(yf[t0:t0 + tile]), tkey, opts, eye)
-        colors.append(np.asarray(c))
-        depths.append(np.asarray(d))
-        nrays += int(n)
+        # start the device->host copies now so tile t's download overlaps
+        # tile t+1's dispatch/compute (the copy is the dominant cost when
+        # the device link is slow; it's free to start early regardless)
+        for a in (c, d):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        pending.append((c, d, n))
+    colors = [np.asarray(c) for c, _, _ in pending]
+    depths = [np.asarray(d) for _, d, _ in pending]
+    nrays = sum(int(n) for _, _, n in pending)
     color = np.concatenate(colors)[:P][inv]
     depth = np.concatenate(depths)[:P][inv]
     return color, depth, nrays
@@ -652,21 +791,31 @@ def render_frame(scene_host, opts: RenderOptions):
     def grid_for(w, h):
         return _pixel_grid(w, h, dt)
 
+    def whitted_panel(eye, w_s, h_s, amap):
+        """Whitted corner-grid AA for one eye panel (ndt.c:900-1103):
+        pass 1 on the (w_s+1) x (h_s+1) corner grid under the panel's
+        affine screen mapping, pass 2 refines noisy pixels.  Applies to
+        every stereo layout, like the C's -w (which resamples the frame
+        regardless of stereo mode, ndt.c:1039-1103)."""
+        from ndt_tpu.render.adaptive import whitted_refine
+
+        ax, bx, ay, by = amap
+        gx = np.arange(w_s + 1, dtype=dt)
+        gy = np.arange(h_s + 1, dtype=dt)
+        xg, yg = np.meshgrid((ax * gx + bx).astype(dt),
+                             (ay * gy + by).astype(dt))
+        c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
+        corners = c.reshape(h_s + 1, w_s + 1, 3)
+        pimg, _n_res, extra = whitted_refine(
+            scene_data, cam_data, corners, opts, opts.aa_diff,
+            opts.aa_depth, key, eye=eye, amap=amap, size=(w_s, h_s))
+        return pimg, d.reshape(h_s + 1, w_s + 1)[:h_s, :w_s], n + extra
+
+    mono_amap = (1.0 / (W + 1), -0.5, -1.0 / (H + 1), 0.5)
     if opts.stereo == "mono":
         if opts.whitted:
-            # Whitted corner-grid AA (ndt.c:900-1103): pass 1 on the
-            # (W+1) x (H+1) corner grid, pass 2 refines noisy pixels
-            from ndt_tpu.render.adaptive import whitted_refine
-
-            xx, yy = grid_for(W + 1, H + 1)
-            c, d, n = _render_grid(scene_data, cam_data, xx, yy, opts,
-                                   "center", key)
-            corners = c.reshape(H + 1, W + 1, 3)
-            img[:], n_resampled, extra = whitted_refine(
-                scene_data, cam_data, corners, opts, opts.aa_diff,
-                opts.aa_depth, key)
-            dep[:] = d.reshape(H + 1, W + 1)[:H, :W]
-            rays += n + extra
+            img[:], dep[:], n = whitted_panel("center", W, H, mono_amap)
+            rays += n
         else:
             xx, yy = grid_for(W, H)
             c, d, n = _render_grid(scene_data, cam_data, xx, yy, opts,
@@ -676,52 +825,80 @@ def render_frame(scene_host, opts: RenderOptions):
             rays += n
     elif opts.stereo == "side":
         # left/right halves, x rescaled by x_scale=0.5 (ndt.c:590-600)
-        xx, yy = grid_for(W, H)
         half = W // 2
-        ip = np.arange(W, dtype=dt)
-        ipl = ip[:half] / 0.5
-        ipr = (ip[half:] - half) / 0.5
-        for cols, ips, eye in ((slice(0, half), ipl, "left"),
-                               (slice(half, W), ipr, "right")):
-            xs = ips / W - 0.5
-            xg, yg = np.meshgrid(xs.astype(dt), -(np.arange(H, dtype=dt) / H - 0.5))
-            c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
-            img[:, cols] = c.reshape(H, half, 3)
-            dep[:, cols] = d.reshape(H, half)
+        for cols, eye in ((slice(0, half), "left"),
+                          (slice(half, W), "right")):
+            if opts.whitted:
+                amap = (2.0 / (W + 1), -0.5, -1.0 / (H + 1), 0.5)
+                c, d, n = whitted_panel(eye, half, H, amap)
+            else:
+                ip = np.arange(half, dtype=dt) / 0.5
+                xs = ip / W - 0.5
+                xg, yg = np.meshgrid(xs.astype(dt),
+                                     -(np.arange(H, dtype=dt) / H - 0.5))
+                c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts,
+                                       eye, key)
+                c = c.reshape(H, half, 3)
+                d = d.reshape(H, half)
+            img[:, cols] = c
+            dep[:, cols] = d
             rays += n
     elif opts.stereo == "over":
         half = H // 2
-        jp = np.arange(H, dtype=dt)
-        jpt = jp[:half] / 0.5
-        jpb = (jp[half:] - half) / 0.5
-        for rws, jps, eye in ((slice(0, half), jpt, "left"),
-                              (slice(half, H), jpb, "right")):
-            ys = -(jps / H - 0.5)
-            xg, yg = np.meshgrid(np.arange(W, dtype=dt) / W - 0.5, ys.astype(dt))
-            c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
-            img[rws] = c.reshape(half, W, 3)
-            dep[rws] = d.reshape(half, W)
+        for rws, eye in ((slice(0, half), "left"),
+                         (slice(half, H), "right")):
+            if opts.whitted:
+                amap = (1.0 / (W + 1), -0.5, -2.0 / (H + 1), 0.5)
+                c, d, n = whitted_panel(eye, W, half, amap)
+            else:
+                jp = np.arange(half, dtype=dt) / 0.5
+                ys = -(jp / H - 0.5)
+                xg, yg = np.meshgrid(np.arange(W, dtype=dt) / W - 0.5,
+                                     ys.astype(dt))
+                c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts,
+                                       eye, key)
+                c = c.reshape(half, W, 3)
+                d = d.reshape(half, W)
+            img[rws] = c
+            dep[rws] = d
             rays += n
     elif opts.stereo == "anaglyph":
-        xx, yy = grid_for(W, H)
-        cl, d, n = _render_grid(scene_data, cam_data, xx, yy, opts, "left", key)
-        cr, _d2, n2 = _render_grid(scene_data, cam_data, xx, yy, opts, "right", key)
+        eyes = {}
+        for eye in ("left", "right"):
+            if opts.whitted:
+                c, d, n = whitted_panel(eye, W, H, mono_amap)
+            else:
+                xx, yy = grid_for(W, H)
+                c, d, n = _render_grid(scene_data, cam_data, xx, yy, opts,
+                                       eye, key)
+                c = c.reshape(H, W, 3)
+                d = d.reshape(H, W)
+            eyes[eye] = (c, d)
+            rays += n
         luma = np.array([0.299, 0.587, 0.114], dt)
-        img[..., 0] = (cl.reshape(H, W, 3) * luma).sum(-1)   # ndt.c:643-647
+        img[..., 0] = (eyes["left"][0] * luma).sum(-1)   # ndt.c:643-647
         img[..., 1] = 0
-        img[..., 2] = (cr.reshape(H, W, 3) * luma).sum(-1)
-        dep[:] = d.reshape(H, W)
-        rays += n + n2
+        img[..., 2] = (eyes["right"][0] * luma).sum(-1)
+        dep[:] = eyes["left"][1]
     elif opts.stereo == "hidef":
         # 1920x2205: rows 0..1079 left, 45 blank rows, rows 1125..2204 right
         # (ndt.c:613-630)
         for j0, j1, eye in ((0, 1080, "left"), (1125, 2205, "right")):
-            jp = np.arange(j0, j1, dtype=dt) - (0 if eye == "left" else 1125)
-            ys = -(jp / 1080.0 - 0.5)
-            xg, yg = np.meshgrid(np.arange(W, dtype=dt) / W - 0.5, ys.astype(dt))
-            c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts, eye, key)
-            img[j0:j1] = c.reshape(j1 - j0, W, 3)
-            dep[j0:j1] = d.reshape(j1 - j0, W)
+            if opts.whitted:
+                amap = (1.0 / (W + 1), -0.5, -1.0 / 1081.0, 0.5)
+                c, d, n = whitted_panel(eye, W, j1 - j0, amap)
+            else:
+                jp = np.arange(j0, j1, dtype=dt) \
+                    - (0 if eye == "left" else 1125)
+                ys = -(jp / 1080.0 - 0.5)
+                xg, yg = np.meshgrid(np.arange(W, dtype=dt) / W - 0.5,
+                                     ys.astype(dt))
+                c, d, n = _render_grid(scene_data, cam_data, xg, yg, opts,
+                                       eye, key)
+                c = c.reshape(j1 - j0, W, 3)
+                d = d.reshape(j1 - j0, W)
+            img[j0:j1] = c
+            dep[j0:j1] = d
             rays += n
     else:
         raise ValueError(f"unknown stereo mode {opts.stereo!r}")

@@ -80,3 +80,26 @@ def test_adaptive_uses_more_samples_than_min():
                           max_optic_depth=2, adaptive=False)
     _, _, n_fixed = render_frame(scn, fixed)
     assert n_adaptive >= n_fixed  # noisy edge pixels keep sampling
+
+
+def test_whitted_applies_to_stereo_modes():
+    """-w now composes with every stereo layout (the C applies resampling
+    to the frame regardless of stereo mode, ndt.c:1039-1103): each eye
+    panel gets its own corner grid + refinement under the panel's affine
+    screen mapping."""
+    for mode in ("side", "over", "anaglyph"):
+        scn = _scene()
+        opts_w = RenderOptions(width=32, height=24, samples=1, tile=2048,
+                               stereo=mode, whitted=True, aa_diff=8,
+                               aa_depth=2)
+        opts_p = RenderOptions(width=32, height=24, samples=1, tile=2048,
+                               stereo=mode)
+        img_w, _, n_w = render_frame(scn, opts_w)
+        img_p, _, n_p = render_frame(scn, opts_p)
+        assert np.isfinite(img_w).all(), mode
+        assert img_w.shape == img_p.shape
+        # corner-grid sampling shifts by ~half a pixel: images must agree
+        # in the large (same scene) without being the same sampling
+        assert np.abs(img_w - img_p).mean() < 0.08, mode
+        if mode == "anaglyph":
+            assert (img_w[..., 1] == 0).all()

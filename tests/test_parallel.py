@@ -114,3 +114,43 @@ def test_cli_yaml_snapshots_rerender(tmp_path, monkeypatch):
                  "-s", "yaml", "-u", str(snap)]) == 0
     frame2 = tmp_path / "images/lights3d/3d/48x36/lights3d_48x36_0000.png"
     assert frame2.read_bytes() == data
+
+
+def test_sharded_adaptive_sampling_matches_single_device():
+    """-b r now composes with -n samples: the adaptive convergence
+    sampler's per-round batches shard over the mesh, and the result must
+    be bit-identical to the single-device adaptive render (same keys,
+    same convergence path)."""
+    import dataclasses
+
+    from ndt_tpu.render.engine import RenderOptions, render_frame
+    from ndt_tpu.parallel.mesh import make_pixel_mesh
+
+    def scene():
+        from ndt_tpu.scene.model import Scene
+
+        scn = Scene("mini", 4)
+        s = scn.add_object("sphere", "ball")
+        s.add_pos(np.array([0, 0, 10.0, 0])).add_size(2.0)
+        s.set_color(0.9, 0.2, 0.2)
+        floor = scn.add_object("hplane", "floor")
+        floor.add_pos(np.array([0, -3.0, 0, 0]))
+        floor.add_dir(np.array([0, 1.0, 0, 0]))
+        floor.set_color(0.5, 0.5, 0.5)
+        scn.ambient[:] = 0.3
+        lgt = scn.add_light()
+        lgt.pos = np.array([5.0, 10.0, 0, 0])
+        lgt.set_color(50, 50, 50)
+        scn.cam.set_aim(np.array([0, 2.0, -8.0, 0]),
+                        np.array([0, 0, 10.0, 0]),
+                        np.array([0, 1.0, 0, 0]))
+        return scn
+
+    opts1 = RenderOptions(width=24, height=16, samples=3, adaptive=True,
+                          tile=24 * 16)
+    img1, _, n1 = render_frame(scene(), opts1)
+    mesh = make_pixel_mesh(jax.devices()[:8])
+    opts8 = dataclasses.replace(opts1, devices=mesh)
+    img8, _, n8 = render_frame(scene(), opts8)
+    assert n1 == n8
+    np.testing.assert_array_equal(img1, img8)

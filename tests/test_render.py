@@ -586,3 +586,58 @@ def test_hfacet_in_megakernel():
     for k in ("pl", "plf"):
         d = np.abs(runs[k] - runs["jnp"])
         assert (d.max(axis=1) > 1e-3).mean() < 0.002, (k, d.max())
+
+
+def test_stack_compaction_matches_full_width():
+    """The stack-mode (refractive) bounce loop now has the same two-level
+    block compaction as chain mode (engine._render_rays_stack): identical
+    rays traced, colors, and depth vs the full-width loop."""
+    from ndt_tpu.render.engine import gen_rays, render_rays
+    from ndt_tpu.render.pallas_trace import RT
+
+    scn = Scene("compact_t", 4)
+    scn.ambient[:] = 0.2
+    lgt = scn.add_light()
+    lgt.pos = np.array([0.0, 50.0, 0.0, 0.0])
+    lgt.set_color(200, 200, 200)
+    floor = scn.add_object("hplane").set_color(.6, .6, .6) \
+        .set_reflect(.3, .3, .3)
+    floor.add_pos(np.array([0.0, -5.0, 0.0, 0.0]))
+    floor.add_dir(np.array([0.0, 1.0, 0.0, 0.0]))
+    glass = scn.add_object("sphere").set_color(.2, .2, .7)
+    glass.transparent = 1
+    glass.refract_index = 1.44
+    glass.add_pos(np.array([0.0, 2.0, -20.0, 0.0]))
+    glass.add_size(3.0)
+    mirror = scn.add_object("sphere").set_color(.7, .2, .2) \
+        .set_reflect(.5, .5, .5)
+    mirror.add_pos(np.array([6.0, 2.0, -24.0, 0.0]))
+    mirror.add_size(3.0)
+    scn.cam.set_aim(np.array([0.0, 5.0, 20.0, 0.0]), np.zeros(4),
+                    np.array([0.0, 10.0, 0.0, 0.0]), 0.0)
+    scn.cam.aim()
+
+    dt = np.float32
+    sd = compile_scene(scn, dt)
+    assert sd.has_transparent
+    cd = scn.cam.data(dt)
+    R = RT * 16
+    w = h = int(np.sqrt(R))
+    xx, yy = _pixel_grid(w, h, np.dtype(dt))
+    x, y = jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel())
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for compact in (0, 4):
+        opts = RenderOptions(width=w, height=h, samples=1, tile=R,
+                             compact=compact, max_optic_depth=6)
+        o, v = gen_rays(cd, x, y, key, opts, "center", False, False)
+        c, d, n = jax.jit(render_rays, static_argnames="opts")(
+            sd, o, v, key, opts)
+        outs[compact] = (np.asarray(c), np.asarray(d), int(n))
+    c0, d0, n0 = outs[0]
+    c4, d4, n4 = outs[4]
+    assert n0 == n4
+    assert n0 > R * 1.05           # refraction/reflection actually happened
+    np.testing.assert_array_equal(d0, d4)
+    np.testing.assert_allclose(c0, c4, atol=1e-6)
