@@ -1149,7 +1149,7 @@ def pack_params(scene):
                   prop_tab.ravel())
 
 
-def cull_lists(params, o, v, meta, live=None):
+def cull_lists(params, o, v, meta, live=None, limit=None):
     """Vectorized per-tile object culling in XLA: interval arithmetic over
     each RT-ray tile's origin/direction bounds vs every object's bounding
     sphere, then per-family compaction into (lists [n_tiles, N],
@@ -1158,7 +1158,14 @@ def cull_lists(params, o, v, meta, live=None):
     The same conservative test as the reference's bounding-sphere cull
     (bounding.c:34-85) but at tile granularity: the tile may hit the object
     unless the lower bound of every ray's squared perpendicular distance
-    exceeds r^2, or the whole sphere is behind every ray."""
+    exceeds r^2, or the whole sphere is behind every ray.
+
+    ``limit`` ([R] f32, optional): per-ray max hit distance (shadow rays
+    stop at the light, ndt.c:157-178).  Adds a range cull: a sphere whose
+    nearest point from the tile's origin box is farther than the tile's
+    max limit can never occlude -- this is what kills the far side of a
+    large scene for shadow batches, whose origins (hit points) spread too
+    much in depth for the perpendicular-distance test alone to bite."""
     R, D = o.shape
     bnd = params[14].reshape(-1, D + 1)       # center + r2 (-1 = infinite)
     n_tiles = R // RT
@@ -1206,6 +1213,18 @@ def cull_lists(params, o, v, meta, live=None):
             perp2_lo = perp2_lo + m2
     r = jnp.sqrt(jnp.maximum(r2, 0.0))[None, :]
     may_hit = (perp2_lo <= r2[None, :]) & ((-voc_lo + r) >= EPSILON)
+    if limit is not None and _os.environ.get("NDT_LIMIT_CULL", "1") != "0":
+        lim = limit.reshape(n_tiles, RT)
+        if live is not None:
+            lim = jnp.where(live.reshape(n_tiles, RT), lim, 0.0)
+        lim_hi = lim.max(1)                    # [n_tiles]
+        # min distance from the tile's origin box to the sphere center
+        straddle = (oc_lo <= 0.0) & (oc_hi >= 0.0)
+        m = jnp.where(straddle, 0.0,
+                      jnp.minimum(jnp.abs(oc_lo), jnp.abs(oc_hi)))
+        d2_lo = (m * m).sum(-1)                # [n_tiles, N]
+        reach = lim_hi[:, None] + r
+        may_hit &= d2_lo <= reach * reach
     may_hit = may_hit | (r2[None, :] < 0.0)   # infinite leaves never cull
     if live is not None:
         # fully-dead tiles run zero kernel iterations (even infinite leaves)
@@ -1307,7 +1326,8 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
 
     n_total = max(meta.n_sph + meta.n_pln + meta.n_quad + meta.n_fct
                   + meta.n_hf, 1)
-    lists, counts = cull_lists(params, o, v, meta, live)
+    lists, counts = cull_lists(params, o, v, meta, live,
+                               limit=aux if mode == "shadow" else None)
     lists = lists[:, None, :]
     counts = counts[:, None, :]
     list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),

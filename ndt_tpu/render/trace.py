@@ -229,22 +229,26 @@ def _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p,
             off += D
             o_s = p - u[None, :] * EPSILON
             v_s = jnp.broadcast_to(-u[None, :], p.shape)
+            lim = None                        # any-hit, unbounded
         elif kind == "a":
             lp = area[fi]                     # [R, D] sampled positions
             sd = p - lp
-            inv = 1.0 / jnp.maximum(
-                jnp.sqrt((sd * sd).sum(-1, keepdims=True)), 1e-20)
+            dist = jnp.sqrt((sd * sd).sum(-1))
+            inv = 1.0 / jnp.maximum(dist, 1e-20)[:, None]
             o_s = lp
             v_s = sd * inv
+            lim = dist
         else:
             lp = lvec[off:off + D]
             off += D + (D + 1 if kind == "s" else 0)
             sd = p - lp[None, :]
-            inv = 1.0 / jnp.maximum(
-                jnp.sqrt((sd * sd).sum(-1, keepdims=True)), 1e-20)
+            dist = jnp.sqrt((sd * sd).sum(-1))
+            inv = 1.0 / jnp.maximum(dist, 1e-20)[:, None]
             o_s = jnp.broadcast_to(lp[None, :], p.shape)
             v_s = sd * inv
-        culls.append(cull_lists(tables, o_s, v_s, meta, live=cull_live))
+            lim = dist
+        culls.append(cull_lists(tables, o_s, v_s, meta, live=cull_live,
+                                limit=lim))
     return tuple(culls)
 
 
