@@ -162,6 +162,9 @@ def main():
             ("random150_5d", "random", 5, 640, 480, 0, "150", False),
             ("cluster5d", "cluster5d", 5, 640, 480, 0, None, False),
             ("anim6d_sharded", "anim6d", 6, 640, 480, 1, None, True),
+            # dense regime: exercises SMEM chunking, per-item AABB gate
+            # fallbacks, and the in-kernel front-to-back early exit
+            ("random600_5d", "random", 5, 640, 480, 0, "600", False),
         ]
         for name, key_, dim, w, h, fr, cfg, sh in specs:
             try:

@@ -31,8 +31,8 @@ def _compile() -> str:
             and all(os.path.getmtime(out) >= os.path.getmtime(s)
                     for s in srcs)):
         return out
-    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC"] + srcs
-           + ["-o", out])
+    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread"]
+           + srcs + ["-o", out])
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
@@ -73,6 +73,15 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_double),
             ]
             lib.ndt_optimal_sphere.restype = ctypes.c_double
+            lib.ndt_optimal_spheres.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.ndt_optimal_spheres.restype = None
             _LIB = lib
         except Exception:
             _LIB = None
@@ -144,3 +153,28 @@ def optimal_sphere(pts: np.ndarray, radii: np.ndarray, eps: float):
         r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         n, d, eps, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out, float(radius)
+
+
+def optimal_spheres(pts: np.ndarray, radii: np.ndarray,
+                    offsets: np.ndarray, eps: float):
+    """Batched minimal-bounding-sphere fits, threaded in C++ (one fit per
+    offset span).  pts [sum_n, d], radii [sum_n], offsets [m + 1] i64.
+    Returns (centers [m, d], radii_out [m]) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(pts, np.float64)
+    r = np.ascontiguousarray(radii, np.float64)
+    off = np.ascontiguousarray(offsets, np.int64)
+    m = len(off) - 1
+    d = p.shape[1]
+    centers = np.empty((m, d), np.float64)
+    out_r = np.empty(m, np.float64)
+    lib.ndt_optimal_spheres(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        m, d, eps,
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return centers, out_r

@@ -87,9 +87,21 @@ class RenderOptions:
 # fused in-kernel shadow tests (one megakernel launch per bounce instead of
 # closest + shadow + occlusion); NDT_FUSED_SHADOW=0 to fall back
 _FUSED_SHADOW = os.environ.get("NDT_FUSED_SHADOW", "1") != "0"
-# direction-octant re-sort of compacted bounce survivors (restores the
-# tile cull for divergent reflected rays); NDT_DIR_SORT=0 to disable
-_DIR_SORT = os.environ.get("NDT_DIR_SORT", "1") != "0"
+# re-sort of compacted bounce survivors by (origin cell, direction octant)
+# to restore the tile cull for divergent reflected rays.  Measured a NET
+# LOSS on every workload tried (TPU v5e, same-session A/B -- balls@1080p
+# 499->470, hypercube-walls@720p 413->328 Mrays/s): the lane-level
+# sort+gather machinery costs ~2.5 ms at 1080p and the tightened direction
+# bounds don't pay it back (walls' reflected origins span the whole box,
+# so origin bounds loosen as direction bounds tighten).  OFF by default;
+# NDT_DIR_SORT=1 re-enables for experiments.  The shipped answer to
+# divergent-ray culling is the in-kernel front-to-back early exit over
+# reach-sorted candidate lists (pallas_trace._EARLY_EXIT).
+_DIR_SORT = os.environ.get("NDT_DIR_SORT", "0") != "0"
+# sort key: "cell" = (origin cell, direction octant) joint clustering,
+# "octant" = direction octant only, "noop" = permutation machinery with a
+# constant key (isolates the sort's fixed cost for A/B)
+_DIR_SORT_KEY = os.environ.get("NDT_DIR_SORT_KEY", "cell")
 
 
 def _trace_with_lights(scene, o, v, live, specular, key=None):
@@ -118,6 +130,13 @@ def _node_budget(opts: RenderOptions, has_transparent: bool) -> int:
     return min(1 << min(opts.max_optic_depth, 10), 1024)
 
 
+# stack-mode (refractive) rays carry a [stack_size, D] pending-node stack
+# each (~1.4 KB/ray at S=16, D<=8 with XLA temps on top): a full 1080p
+# batch at once exceeds a v5e's 16 GB HBM.  Batches above this cap run as
+# a lax.map over sub-batches -- still one XLA program, memory bounded.
+_STACK_TILE = int(os.environ.get("NDT_STACK_TILE", 1 << 19))
+
+
 def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
     """Trace a batch of primary rays to completion IN ONE XLA PROGRAM
     (used inside outer jits: sharding dry-runs, tests).  The host path
@@ -125,7 +144,21 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
     in a single device program can outrun execution watchdogs."""
     if not scene.has_transparent:
         return _render_rays_chain(scene, o, v, key, opts)
-    return _render_rays_stack(scene, o, v, key, opts)
+    R = o.shape[0]
+    if R <= _STACK_TILE or R % _STACK_TILE != 0:
+        return _render_rays_stack(scene, o, v, key, opts)
+
+    def one(args):
+        i, oc, vc = args
+        return _render_rays_stack(scene, oc, vc,
+                                  jax.random.fold_in(key, i), opts)
+
+    n_sub = R // _STACK_TILE
+    c, d, n = jax.lax.map(
+        one, (jnp.arange(n_sub, dtype=jnp.int32),
+              o.reshape(n_sub, _STACK_TILE, -1),
+              v.reshape(n_sub, _STACK_TILE, -1)))
+    return c.reshape(R, 3), d.reshape(R), n.sum()
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -308,7 +341,7 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     return carry[6], carry[7], carry[8]
 
 
-def _dir_sort_perm(v, active, blk=256):
+def _dir_sort_perm(o, v, active, blk=256):
     """Permutation restoring direction coherence for compacted bounce rays.
 
     The megakernel's per-tile interval cull (pallas_trace.cull_lists) needs
@@ -321,12 +354,33 @@ def _dir_sort_perm(v, active, blk=256):
     block (tight o intervals).  Dead lanes sort to the back, which also
     concentrates liveness into fewer tiles.
 
+    Key modes (_DIR_SORT_KEY): "cell" groups by (coarse origin cell,
+    direction octant) so each tile gets tight bounds on BOTH o and v --
+    octant alone proved direction-tight but origin-loose, which loses on
+    box-interior scenes whose reflected origins span the whole scene.  The
+    sort is stable, so within equal keys the original screen-block order
+    (and its origin coherence) is preserved for free.
+
     Returns (perm, inv): sorted = a[perm], original = sorted[inv]."""
     R, D = v.shape
     octant = sum(((v[:, d] >= 0).astype(jnp.int32) << d) for d in range(D))
-    blk_id = jnp.arange(R, dtype=jnp.int32) // blk
-    nb = R // blk
-    key = jnp.where(active, octant * nb + blk_id, jnp.int32(1) << 30)
+    if _DIR_SORT_KEY == "noop":
+        key = jnp.where(active, jnp.int32(0), jnp.int32(1) << 30)
+    elif _DIR_SORT_KEY == "octant":
+        blk_id = jnp.arange(R, dtype=jnp.int32) // blk
+        nb = R // blk
+        key = jnp.where(active, octant * nb + blk_id, jnp.int32(1) << 30)
+    else:  # "cell": origin-cell major, octant minor
+        ncell = 4
+        lo = jnp.where(active[:, None], o, BIG).min(0)        # [D]
+        hi = jnp.where(active[:, None], o, -BIG).max(0)
+        span = jnp.maximum(hi - lo, 1e-6)
+        ci = jnp.clip((o - lo[None, :]) / span[None, :] * ncell,
+                      0, ncell - 1).astype(jnp.int32)          # [R, D]
+        cell = jnp.zeros((R,), jnp.int32)
+        for d in range(D):
+            cell = cell * ncell + ci[:, d]
+        key = jnp.where(active, (cell << D) | octant, jnp.int32(1) << 30)
     iota = jnp.arange(R, dtype=jnp.int32)
     _, perm = jax.lax.sort_key_val(key, iota, is_stable=True)
     _, inv = jax.lax.sort_key_val(perm, iota, is_stable=True)
@@ -339,7 +393,7 @@ def _dir_sort_chain(carry):
     lane order of the per-lane outputs (color) so block-structured merges
     stay valid."""
     (it, active, o, v, w, frac, color, depth, nrays, key) = carry
-    perm, inv = _dir_sort_perm(v, active)
+    perm, inv = _dir_sort_perm(o, v, active)
     g = lambda a: a[perm]
     sorted_carry = (it, g(active), g(o), g(v), g(w), g(frac), g(color),
                     g(depth), nrays, key)
@@ -744,6 +798,10 @@ def _render_grid(scene_data, cam_data, xx, yy, opts, eye, key):
                                       opts, mesh, eye)
         return np.asarray(c)[:P][inv], np.asarray(d)[:P][inv], int(n)
     tile = min(opts.tile, max(1, P))
+    if scene_data.has_transparent:
+        # stack-mode rays carry ~1.4 KB of pending-node state each; cap
+        # the dispatch width so a 1080p refractive frame fits in HBM
+        tile = min(tile, _STACK_TILE)
     pad = (-P) % tile
     xf = np.concatenate([xx.ravel()[perm], np.zeros(pad, xx.dtype)])
     yf = np.concatenate([yy.ravel()[perm], np.zeros(pad, yy.dtype)])

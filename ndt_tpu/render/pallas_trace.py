@@ -34,10 +34,11 @@ Modes:
               over infinite objects (object.c:736-738 + kd-tree.c:592-594)
               via a first-rank pass then a conditional-min pass
 
-Covers all five families (sphere / plane / quadric / facet / hfacet) for
-single-chunk scenes; multi-chunk (SMEM-overflow) scenes evaluate facet
-families on the jnp path and min-merge outside.  f32 only -- the f64
-golden-parity path stays on the jnp kernels in intersect.py.
+Covers all five families (sphere / plane / quadric / facet / hfacet);
+large scenes pack into SMEM-sized chunks (compile._pack_chunked), the
+kernel runs once per chunk, and the tracer min-merges chunk winners.
+f32 only -- the f64 golden-parity path stays on the jnp kernels in
+intersect.py.
 """
 
 from __future__ import annotations
@@ -460,6 +461,28 @@ import os
 
 _USE_CULL = os.environ.get("NDT_PALLAS_CULL", "1") != "0"
 _USE_PROPS = os.environ.get("NDT_PALLAS_PROPS", "1") != "0"
+# front-to-back early exit over reach-sorted candidate lists (the kd
+# traversal near-to-far break, kd-tree.c:534-590); NDT_EARLY_EXIT=0 for A/B
+_EARLY_EXIT = os.environ.get("NDT_EARLY_EXIT", "1") != "0"
+# candidates per early-exit check: amortizes the cross-lane max reduction
+_EE_GROUP = int(os.environ.get("NDT_EE_GROUP", 8))
+# scene size (chunk rows) below which the early exit stays off: at
+# flagship scale (~125 objects) the loop/reduction overhead measurably
+# outweighs the skipped evals (see ARCHITECTURE.md perf journal); the
+# exit pays off when per-tile candidate lists are long
+_EE_MIN_OBJECTS = int(os.environ.get("NDT_EE_MIN_OBJECTS", 192))
+# interpret mode (CPU correctness tests) skips the early exit by default:
+# the grouped while-loop bodies inline _EE_GROUP full evals per family,
+# which explodes interpreter-mode compile time/memory on large scenes.
+# Tests that exercise the exit force this on (with small scenes).
+_EE_INTERPRET = os.environ.get("NDT_EE_INTERPRET", "0") != "0"
+
+
+def _use_early_exit(meta: "PallasMeta", interpret: bool = False) -> bool:
+    if interpret and not _EE_INTERPRET:
+        return False
+    n = (meta.n_sph + meta.n_pln + meta.n_quad + meta.n_fct + meta.n_hf)
+    return _EARLY_EXIT and n >= _EE_MIN_OBJECTS
 
 
 def _fam_meta(meta: PallasMeta):
@@ -490,8 +513,9 @@ def _gid_fam(meta: PallasMeta, gid):
 N_FAMS = 5   # cull-count columns (sph, pln, quad, fct, hf)
 
 
-def _make_kernel(meta: PallasMeta, mode: str):
+def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False):
     """mode: 'closest' | 'any' | 'shadow'."""
+    early = _use_early_exit(meta, interpret)
     D = meta.dim
     A = meta.a_quad
     want_normal = mode == "closest"
@@ -500,10 +524,12 @@ def _make_kernel(meta: PallasMeta, mode: str):
     def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
                qoff_ref, qslab_ref, qgt_ref, qgp_ref, fct_ref, hf_ref,
                mat_ref, rank_ref, bnd_ref, prop_ref,
-               lists_ref, counts_ref, o_ref, v_ref, aux_ref, *out_refs):
+               lists_ref, counts_ref, reach_ref, live_ref,
+               o_ref, v_ref, aux_ref, *out_refs):
         o = [o_ref[d] for d in range(D)]       # each (RT//LANE, LANE)
         v = [v_ref[d] for d in range(D)]
         shape = o[0].shape
+        live_f = live_ref[0]                   # 1.0 live / 0.0 discard
 
         # per-tile compact surviving-object lists, built vectorized in XLA
         # (cull_lists below) and delivered as blocked SMEM rows
@@ -537,6 +563,10 @@ def _make_kernel(meta: PallasMeta, mode: str):
                 fr = jnp.where(within, jnp.minimum(fr, jnp.int32(rank)), fr)
             return fr
 
+        fam_sizes = {"sph": meta.n_sph, "pln": meta.n_pln,
+                     "quad": meta.n_quad, "fct": meta.n_fct,
+                     "hf": meta.n_hf}
+
         def families(visit):
             for name, fam_i, gid0 in fam_meta:
                 ev = evals[name]
@@ -544,7 +574,8 @@ def _make_kernel(meta: PallasMeta, mode: str):
                 visit(cnt, gid0,
                       lambda k, gid0=gid0, ev=ev: ev(
                           lists_ref[0, 0, gid0 + k] - gid0),
-                      lambda k, gid0=gid0: lists_ref[0, 0, gid0 + k] - gid0)
+                      lambda k, gid0=gid0: lists_ref[0, 0, gid0 + k] - gid0,
+                      fam_sizes[name])
 
         if mode in ("closest", "any"):
             excl = aux_ref[0]                  # excluded MATERIAL id tile
@@ -554,22 +585,74 @@ def _make_kernel(meta: PallasMeta, mode: str):
                 n1 = [jnp.zeros(shape, jnp.float32) for _ in range(D)]
             state = {}
 
-            def visit(count, gid0, ev, row):
-                def body(k, carry):
-                    if want_normal:
-                        t1, m1, *n1 = carry
-                    else:
-                        t1, m1 = carry
+            def visit(count, gid0, ev, row, sz):
+                def step(k, valid, t1, m1, n1):
                     n = row(k)
                     t, nrm = ev(k)
                     mat = mat_ref[gid0 + n]
                     t = jnp.where(mat == excl, BIG, t)
+                    if valid is not None:
+                        t = jnp.where(valid, t, BIG)
                     b = t < t1
                     t1 = jnp.where(b, t, t1)
                     m1 = jnp.where(b, mat, m1)
                     if want_normal:
                         n1 = [jnp.where(b, nd, n1d)
                               for nd, n1d in zip(nrm, n1)]
+                    return t1, m1, n1
+
+                if early:
+                    # candidates arrive sorted by their reach lower bound;
+                    # stop once the next candidate cannot undercut any live
+                    # lane's current winner (near-to-far kd traversal
+                    # break, kd-tree.c:534-590).  Candidates advance in
+                    # groups of _EE_GROUP so the cross-lane max reduction
+                    # amortizes; overshoot within a group evaluates culled
+                    # (provably missing) rows, which is wasted work but
+                    # never wrong.
+                    M = min(_EE_GROUP, sz)
+
+                    def cond(carry):
+                        k = carry[0]
+                        tmax = carry[-1]
+                        kc = jnp.minimum(k, sz - 1)
+                        return ((k < count)
+                                & (reach_ref[0, 0, gid0 + kc] <= tmax))
+
+                    def wbody(carry):
+                        k = carry[0]
+                        t1, m1 = carry[1], carry[2]
+                        n1 = list(carry[3:3 + D]) if want_normal else None
+                        for j in range(M):
+                            idx = jnp.minimum(k + j, sz - 1)
+                            t1, m1, n1 = step(idx, k + j < count,
+                                              t1, m1, n1)
+                        tmax = jnp.max(t1 * live_f)
+                        if want_normal:
+                            return (k + M, t1, m1, *n1, tmax)
+                        return (k + M, t1, m1, tmax)
+
+                    tmax0 = jnp.max(state["t1"] * live_f)
+                    if want_normal:
+                        init = (jnp.int32(0), state["t1"], state["m1"],
+                                *state["n1"], tmax0)
+                    else:
+                        init = (jnp.int32(0), state["t1"], state["m1"],
+                                tmax0)
+                    out = jax.lax.while_loop(cond, wbody, init)
+                    state["t1"], state["m1"] = out[1], out[2]
+                    if want_normal:
+                        state["n1"] = list(out[3:3 + D])
+                    return
+
+                def body(k, carry):
+                    if want_normal:
+                        t1, m1, *n1 = carry
+                    else:
+                        t1, m1 = carry
+                        n1 = None
+                    t1, m1, n1 = step(k, None, t1, m1, n1)
+                    if want_normal:
                         return (t1, m1, *n1)
                     return (t1, m1)
 
@@ -604,7 +687,7 @@ def _make_kernel(meta: PallasMeta, mode: str):
                 pstate = {"p": tuple(jnp.zeros(shape, jnp.float32)
                                      for _ in range(N_PROPS))}
 
-                def vprop(count, gid0, ev, row):
+                def vprop(count, gid0, ev, row, sz):
                     def body(k, props):
                         mat = mat_ref[gid0 + row(k)]
                         sel = state["m1"] == mat
@@ -633,17 +716,52 @@ def _make_kernel(meta: PallasMeta, mode: str):
             st = {"t1": jnp.full(shape, BIG, jnp.float32),
                   "m1": jnp.full(shape, -1, jnp.int32)}
 
-            def visit2(count, gid0, ev, row):
-                def body(k, carry):
-                    t1, m1 = carry
+            # a winner farther than limit + margin can never pass the
+            # downstream same-point-within-EPSILON test (ndt.c:217-228), so
+            # lanes cap their contribution to the early-exit threshold at
+            # the limit: fully-unoccluded tiles stop after the candidates
+            # within reach of their lights
+            cap = limit * (1.0 + 1e-3) + 0.01
+
+            def visit2(count, gid0, ev, row, sz):
+                def step(k, valid, t1, m1):
                     n = row(k)
                     t, _ = ev(k)
                     rank = rank_ref[gid0 + n]
                     elig = (rank >= NOTINF) | (rank <= first["rank"])
                     t = jnp.where(elig, t, BIG)
+                    if valid is not None:
+                        t = jnp.where(valid, t, BIG)
                     b = t < t1
                     return (jnp.where(b, t, t1),
                             jnp.where(b, mat_ref[gid0 + n], m1))
+
+                if early:
+                    M = min(_EE_GROUP, sz)
+
+                    def cond(carry):
+                        k, _, _, tmax = carry
+                        kc = jnp.minimum(k, sz - 1)
+                        return ((k < count)
+                                & (reach_ref[0, 0, gid0 + kc] <= tmax))
+
+                    def wbody(carry):
+                        k, t1, m1, _ = carry
+                        for j in range(M):
+                            idx = jnp.minimum(k + j, sz - 1)
+                            t1, m1 = step(idx, k + j < count, t1, m1)
+                        tmax = jnp.max(jnp.minimum(t1, cap) * live_f)
+                        return (k + M, t1, m1, tmax)
+
+                    tmax0 = jnp.max(jnp.minimum(st["t1"], cap) * live_f)
+                    out = jax.lax.while_loop(
+                        cond, wbody,
+                        (jnp.int32(0), st["t1"], st["m1"], tmax0))
+                    st["t1"], st["m1"] = out[1], out[2]
+                    return
+
+                def body(k, carry):
+                    return step(k, None, *carry)
 
                 out = jax.lax.fori_loop(0, count, body,
                                         (st["t1"], st["m1"]))
@@ -1149,7 +1267,8 @@ def pack_params(scene):
                   prop_tab.ravel())
 
 
-def cull_lists(params, o, v, meta, live=None, limit=None):
+def cull_lists(params, o, v, meta, live=None, limit=None,
+               want_reach=False):
     """Vectorized per-tile object culling in XLA: interval arithmetic over
     each RT-ray tile's origin/direction bounds vs every object's bounding
     sphere, then per-family compaction into (lists [n_tiles, N],
@@ -1165,7 +1284,17 @@ def cull_lists(params, o, v, meta, live=None, limit=None):
     nearest point from the tile's origin box is farther than the tile's
     max limit can never occlude -- this is what kills the far side of a
     large scene for shadow batches, whose origins (hit points) spread too
-    much in depth for the perpendicular-distance test alone to bite."""
+    much in depth for the perpendicular-distance test alone to bite.
+
+    ``want_reach``: additionally return reach [n_tiles, N] f32 -- a
+    conservative lower bound on the hit distance of each tile's listed
+    object for ANY ray in the tile (distance from the tile's origin box to
+    the object's bounding sphere) -- and sort each family's per-tile list
+    by it ascending.  The kernel walks the list front-to-back and STOPS
+    once reach exceeds every live lane's current-best t: the TPU-native
+    analogue of the reference's near-to-far kd traversal early-out
+    (kd-tree.c:534-590), exact because a later object cannot beat a closer
+    winner."""
     R, D = o.shape
     bnd = params[14].reshape(-1, D + 1)       # center + r2 (-1 = infinite)
     n_tiles = R // RT
@@ -1213,32 +1342,42 @@ def cull_lists(params, o, v, meta, live=None, limit=None):
             perp2_lo = perp2_lo + m2
     r = jnp.sqrt(jnp.maximum(r2, 0.0))[None, :]
     may_hit = (perp2_lo <= r2[None, :]) & ((-voc_lo + r) >= EPSILON)
+    # min distance from the tile's origin box to the sphere center
+    straddle = (oc_lo <= 0.0) & (oc_hi >= 0.0)
+    m = jnp.where(straddle, 0.0,
+                  jnp.minimum(jnp.abs(oc_lo), jnp.abs(oc_hi)))
+    d2_lo = (m * m).sum(-1)                    # [n_tiles, N]
     if limit is not None and _os.environ.get("NDT_LIMIT_CULL", "1") != "0":
         lim = limit.reshape(n_tiles, RT)
         if live is not None:
             lim = jnp.where(live.reshape(n_tiles, RT), lim, 0.0)
         lim_hi = lim.max(1)                    # [n_tiles]
-        # min distance from the tile's origin box to the sphere center
-        straddle = (oc_lo <= 0.0) & (oc_hi >= 0.0)
-        m = jnp.where(straddle, 0.0,
-                      jnp.minimum(jnp.abs(oc_lo), jnp.abs(oc_hi)))
-        d2_lo = (m * m).sum(-1)                # [n_tiles, N]
-        reach = lim_hi[:, None] + r
-        may_hit &= d2_lo <= reach * reach
+        lim_reach = lim_hi[:, None] + r
+        may_hit &= d2_lo <= lim_reach * lim_reach
     may_hit = may_hit | (r2[None, :] < 0.0)   # infinite leaves never cull
     if live is not None:
         # fully-dead tiles run zero kernel iterations (even infinite leaves)
         may_hit &= live.reshape(n_tiles, RT).any(1)[:, None]
 
-    # per-family stable compaction: surviving gids first.  Small families
-    # use a sort-free cumsum + one-hot scatter (cheap elementwise ops, no
-    # TPU sort); the one-hot is O(sz^2) per tile, so wide families (large
-    # scenes packed into chunks) switch to a per-row stable sort instead.
+    # per-family stable compaction: surviving gids first.  Without reach,
+    # small families use a sort-free cumsum + one-hot scatter (cheap
+    # elementwise ops, no TPU sort); the one-hot is O(sz^2) per tile, so
+    # wide families (large scenes packed into chunks) switch to a per-row
+    # stable sort.  With reach, survivors sort by reach ascending (the
+    # reach value doubles as the sort key; culled slots key to BIG).
     n_tot = bnd.shape[0]
     fam_sizes = [meta.n_sph, meta.n_pln, meta.n_quad, meta.n_fct,
                  meta.n_hf]
+    if want_reach:
+        # conservative under-estimate: 0.1% multiplicative slack plus an
+        # absolute EPSILON absorb f32 rounding and not-exactly-unit v, so
+        # the kernel's early-out can only fire late, never wrongly
+        reach_all = jnp.maximum(
+            (jnp.sqrt(d2_lo) - r) * (1.0 - 1e-3) - EPSILON, 0.0)
+        reach_all = jnp.where(r2[None, :] < 0.0, 0.0, reach_all)
     lists = []
     counts = []
+    reaches = []
     off = 0
     for sz in fam_sizes:
         if sz == 0:
@@ -1246,7 +1385,14 @@ def cull_lists(params, o, v, meta, live=None, limit=None):
             continue
         mh = may_hit[:, off:off + sz]
         slots = jnp.arange(sz, dtype=jnp.int32)
-        if sz <= 256:
+        if want_reach:
+            keys = jnp.where(mh, reach_all[:, off:off + sz], BIG)
+            gids = jnp.broadcast_to(slots + off, mh.shape)
+            sk, sg = jax.lax.sort((keys, gids), dimension=1,
+                                  is_stable=True, num_keys=1)
+            lists.append(sg.astype(jnp.int32))
+            reaches.append(sk)
+        elif sz <= 256:
             pos = jnp.cumsum(mh.astype(jnp.int32), axis=1) - 1   # [T, sz]
             onehot = ((pos[:, :, None] == slots[None, None, :])
                       & mh[:, :, None])
@@ -1265,6 +1411,13 @@ def cull_lists(params, o, v, meta, live=None, limit=None):
     if lists.shape[1] < max(n_tot, 1):
         lists = jnp.pad(lists, ((0, 0), (0, max(n_tot, 1) - lists.shape[1])))
     counts = jnp.stack(counts, axis=1)         # [n_tiles, N_FAMS]
+    if want_reach:
+        reach = (jnp.concatenate(reaches, axis=1) if reaches
+                 else jnp.zeros((n_tiles, 1), jnp.float32))
+        if reach.shape[1] < max(n_tot, 1):
+            reach = jnp.pad(
+                reach, ((0, 0), (0, max(n_tot, 1) - reach.shape[1])))
+        return lists, counts, reach
     return lists, counts
 
 
@@ -1293,7 +1446,7 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
     v_t = _to_tiles(v, R)
     aux_t = aux.reshape(1, R // LANE, LANE)
 
-    kernel = _make_kernel(meta, mode)
+    kernel = _make_kernel(meta, mode, interpret)
     grid = (R // RT,)
     rows = RT // LANE
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1326,23 +1479,37 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
 
     n_total = max(meta.n_sph + meta.n_pln + meta.n_quad + meta.n_fct
                   + meta.n_hf, 1)
-    lists, counts = cull_lists(params, o, v, meta, live,
-                               limit=aux if mode == "shadow" else None)
+    if _use_early_exit(meta, interpret):
+        lists, counts, reach = cull_lists(
+            params, o, v, meta, live,
+            limit=aux if mode == "shadow" else None, want_reach=True)
+    else:
+        lists, counts = cull_lists(
+            params, o, v, meta, live,
+            limit=aux if mode == "shadow" else None)
+        reach = jnp.zeros(lists.shape, jnp.float32)
     lists = lists[:, None, :]
     counts = counts[:, None, :]
+    reach = reach[:, None, :]
+    if live is None:
+        live_t = jnp.ones((1, R // LANE, LANE), jnp.float32)
+    else:
+        live_t = live.astype(jnp.float32).reshape(1, R // LANE, LANE)
     list_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
     cnt_spec = pl.BlockSpec((1, 1, N_FAMS), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
+    reach_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem()] * 16 + [list_spec, cnt_spec, ray_spec, ray_spec,
-                                  aux_spec],
+        in_specs=[smem()] * 16 + [list_spec, cnt_spec, reach_spec,
+                                  aux_spec, ray_spec, ray_spec, aux_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*params, lists, counts, o_t, v_t, aux_t)
+    )(*params, lists, counts, reach, live_t, o_t, v_t, aux_t)
 
     t = outs[0].reshape(R)
     mat = outs[1].reshape(R)

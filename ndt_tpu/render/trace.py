@@ -79,46 +79,6 @@ def _pad_rays(o, v, rt):
     return o, v, R
 
 
-def _merge_extras(scene, o, v, t, mat, nrm, props):
-    """Fold facet/hfacet blocks (jnp kernels) into the megakernel winner.
-
-    Only needed on the multi-chunk path: single-chunk scenes evaluate both
-    families inside the megakernel (pallas_trace._facet_eval/_hfacet_eval),
-    so callers skip this when len(scene.pmeta) == 1."""
-    pre = None
-    for name in ("facets", "hfacets"):
-        blk = getattr(scene, name)
-        if blk is None:
-            continue
-        dist_fn, norm_fn = intersect.KERNELS[name]
-        if pre is None:
-            pre = intersect.ray_precompute(o, v)
-        t_e = dist_fn(blk, o, v, pre)
-        rows = jnp.argmin(t_e, axis=1)
-        t_best = jnp.take_along_axis(t_e, rows[:, None], 1)[:, 0]
-        better = t_best < t
-        mat_e = jnp.asarray(blk.mat_id)[rows]
-        t = jnp.where(better, t_best, t)
-        mat = jnp.where(better, mat_e, mat)
-        if nrm is not None:
-            point = o + v * t_best[:, None]
-            n_e = norm_fn(blk, rows, point, o, v, t_best)
-            nrm = jnp.where(better[:, None], n_e, nrm)
-        if props is not None:
-            safe = jnp.maximum(mat_e, 0)
-            props = {
-                "color": jnp.where(better[:, None], scene.color[safe],
-                                   props["color"]),
-                "reflect": jnp.where(better[:, None], scene.reflect[safe],
-                                     props["reflect"]),
-                "transparent": jnp.where(better, scene.transparent[safe],
-                                         props["transparent"]),
-                "ior": jnp.where(better, scene.refract_index[safe],
-                                 props["ior"]),
-            }
-    return t, mat, nrm, props
-
-
 def fused_light_info(scene):
     """(kind_chars, light_table) for scenes whose whole apply_lights pass
     (shadow traces + diffuse + specular, ndt.c:71-326) can run inside the
@@ -391,8 +351,6 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
         props = props[:R]
         props = {"color": props[:, 0:3], "reflect": props[:, 3:6],
                  "transparent": props[:, 6], "ior": props[:, 7]}
-    if len(scene.pmeta) > 1:   # single chunk evaluates facets in-kernel
-        t, mat, nrm, props = _merge_extras(scene, o, v, t, mat, nrm, props)
     hit = t < BIG * 0.5
     mat = jnp.where(hit, mat, -1)
     return t, hit, mat, nrm, props
@@ -430,9 +388,6 @@ def _pallas_shadow(scene, o, v, limit, mode, live=None):
             t = jnp.where(b, t_c, t)
             mat = jnp.where(b, mat_c, mat)
     t, mat = t[:R], mat[:R]
-    if len(scene.pmeta) > 1:
-        # facet/hfacet leaves are always finite: plain closest-min merge
-        t, mat, _, _ = _merge_extras(scene, o, v, t, mat, None, None)
     hit = t < BIG * 0.5
     mat = jnp.where(hit, mat, -1)
     point = o + v * t[:, None]

@@ -338,6 +338,46 @@ def _flatten(objects: List[Object], dim: int):
     return leaves, materials, kd_items
 
 
+def _batch_bounds(leaves):
+    """Fit every unfit leaf's bounding sphere in ONE threaded native call
+    (native/bounding.cc:ndt_optimal_spheres) instead of one serial NM solve
+    per leaf — at thousands of leaves the per-leaf fits dominate scene
+    prep.  Results are bit-identical to Object.get_bounds (same native NM
+    per point set, same +EPSILON pad, object.c:582-603); without the native
+    library this is a no-op and the per-leaf lazy path applies."""
+    from ndt_tpu import native
+    if native.get_lib() is None:
+        return
+    todo, seen = [], set()
+    for l in leaves:
+        o = l.obj
+        if o.bounds_radius is None and id(o) not in seen:
+            seen.add(id(o))
+            todo.append(o)
+    pts_all, rad_all, offs, fit_objs = [], [], [0], []
+    for o in todo:
+        pts = o.bounding_points()
+        if not pts:
+            o.bounds_center = np.zeros(o.dim)
+            o.bounds_radius = -1.0
+            continue
+        pts_all.extend(np.asarray(c, np.float64) for c, _ in pts)
+        rad_all.extend(float(r) for _, r in pts)
+        offs.append(offs[-1] + len(pts))
+        fit_objs.append(o)
+    if not fit_objs:
+        return
+    res = native.optimal_spheres(
+        np.stack(pts_all), np.asarray(rad_all),
+        np.asarray(offs, np.int64), EPSILON)
+    if res is None:
+        return
+    centers, radii = res
+    for o, c, r in zip(fit_objs, centers, radii):
+        o.bounds_center = c
+        o.bounds_radius = float(r) + (EPSILON if r > 0.0 else 0.0)
+
+
 def _leaf_bounds(leaf: _Leaf, dim):
     obj = leaf.obj
     if obj.bounds_radius is None:
@@ -426,9 +466,11 @@ def _quadric_gates(leaves, kd_items, dim):
     picks children by position (kd-tree.c:556-566)."""
     from ndt_tpu.utils.kdtree import build_c_exact
 
+    # is_slab is a static property of the type (orthotope only) -- don't
+    # recompute the full prepare() per leaf just to read it
     slab_items = sorted({l.kd_item for l in leaves
                          if l.kind == "quadric" and l.kd_item >= 0
-                         and _quadric_params(l.obj)[5]})
+                         and l.obj.type_name == "orthotope"})
     if not slab_items or not kd_items:
         return None
     lowers = np.stack([lo for lo, _ in kd_items])
@@ -633,6 +675,7 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
     leaves, materials, kd_items = _flatten(scene.objects, scene.dim)
     if not leaves:
         raise ValueError("scene has no intersectable objects")
+    _batch_bounds(leaves)
 
     # assign shadow scan ranks to infinite leaves (insertion order)
     rank = 0
@@ -695,9 +738,8 @@ def _pack_chunked(sd: "SceneData"):
             "planes": 4 * ((2 * D + 1) + 2 + (D + 1)),
             "quadrics": 4 * ((D + A * D + 2 * A + 2) + 4 * B * D + 2
                              + (D + 1)),
-            # facet families ride the single-chunk kernel only; their rows
-            # still count toward the SMEM budget (widths: pallas_trace
-            # _facet_width/_hfacet_width + mat/rank + bounds)
+            # widths: pallas_trace _facet_width/_hfacet_width + mat/rank
+            # + bounds
             "facets": 4 * ((10 * D + 11) + 2 + (D + 1)),
             "hfacets": 4 * ((7 * D + 12) + 2 + (D + 1))}
     budget = _SMEM_BUDGET - 4 * N_PROPS * sd.n_materials - 4096
@@ -723,7 +765,8 @@ def _pack_chunked(sd: "SceneData"):
             chunks.append(cur)
         cur, cur_cost = {}, 0
 
-    fams = [f for f in ("spheres", "planes", "quadrics")
+    fams = [f for f in ("spheres", "planes", "quadrics", "facets",
+                        "hfacets")
             if getattr(sd, f) is not None]
     for fam in fams:
         ranks = np.asarray(getattr(sd, fam).shadow_rank)
@@ -790,7 +833,15 @@ def _pack_chunked(sd: "SceneData"):
             quadrics=(pad_block(sd.quadrics, idxs["quadrics"][ci],
                                 pad_to["quadrics"])
                       if "quadrics" in fams else None),
-            facets=None, hfacets=None)
+            # facet families chunk like every other family; padded dummy
+            # rows are degenerate (all-zero) triangles whose evals yield
+            # NaN/BIG t and whose BIG-centered bounds always cull
+            facets=(pad_block(sd.facets, idxs["facets"][ci],
+                              pad_to["facets"])
+                    if "facets" in fams else None),
+            hfacets=(pad_block(sd.hfacets, idxs["hfacets"][ci],
+                               pad_to["hfacets"])
+                     if "hfacets" in fams else None))
         m, t = pack_params(sub)
         metas.append(m)
         tables.append(t)

@@ -641,3 +641,189 @@ def test_stack_compaction_matches_full_width():
     assert n0 > R * 1.05           # refraction/reflection actually happened
     np.testing.assert_array_equal(d0, d4)
     np.testing.assert_allclose(c0, c4, atol=1e-6)
+
+
+def test_early_exit_winners_identical(monkeypatch):
+    """The front-to-back early exit over reach-sorted candidate lists
+    (pallas_trace._EARLY_EXIT, the kd-traversal near-to-far break,
+    kd-tree.c:534-590) skips only candidates whose reach lower bound
+    exceeds every live lane's current-best t, so closest-hit winners are
+    BIT-identical with it on or off; shadow winners may differ only
+    beyond the limit cap, where the same-point test fails either way."""
+    from ndt_tpu.render import pallas_trace as pt
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.render.engine import gen_rays
+
+    mod = get_scene("balls")
+    scn = Scene("balls", 4)
+    mod.scene_setup(scn, 4, 0, 1500)
+    if hasattr(mod, "scene_cleanup"):
+        mod.scene_cleanup()
+    scn.cam.aim()
+    sd = compile_scene(scn, np.float32)
+    dt = np.float32
+    cd = scn.cam.data(dt)
+    xx, yy = _pixel_grid(64, 48, np.dtype(dt))
+    opts = RenderOptions(width=64, height=48, samples=1, tile=64 * 48)
+    o, v = gen_rays(cd, jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel()),
+                    jax.random.PRNGKey(0), opts, "center", False, False)
+    limit = jnp.full(o.shape[0], 30.0, dt)
+
+    results = {}
+    trace_mod.set_trace_impl("pallas-interpret")
+    try:
+        monkeypatch.setattr(pt, "_EE_MIN_OBJECTS", 0)
+        monkeypatch.setattr(pt, "_EE_INTERPRET", True)
+        for ee in (True, False):
+            monkeypatch.setattr(pt, "_EARLY_EXIT", ee)
+            jax.clear_caches()
+            tr = trace_mod.trace(sd, o, v, need_normal=True)
+            sh = trace_mod.shadow_trace(sd, o, v, limit)
+            results[ee] = (tr, sh)
+    finally:
+        trace_mod.set_trace_impl("auto")
+        jax.clear_caches()
+
+    (tr1, sh1), (tr0, sh0) = results[True], results[False]
+    np.testing.assert_array_equal(np.asarray(tr1.t), np.asarray(tr0.t))
+    np.testing.assert_array_equal(np.asarray(tr1.mat_id),
+                                  np.asarray(tr0.mat_id))
+    np.testing.assert_array_equal(np.asarray(tr1.normal),
+                                  np.asarray(tr0.normal))
+    cap = 30.0 * 1.001 + 0.01
+    within = np.asarray(sh0.t) <= cap
+    np.testing.assert_array_equal(np.asarray(sh1.t)[within],
+                                  np.asarray(sh0.t)[within])
+    np.testing.assert_array_equal(np.asarray(sh1.mat_id)[within],
+                                  np.asarray(sh0.mat_id)[within])
+    assert (np.asarray(sh1.t)[~within] > cap).all()
+
+
+def test_stack_mode_submap_matches_full_width(monkeypatch):
+    """Stack-mode batches above engine._STACK_TILE run as a lax.map over
+    sub-batches (a 1080p refractive frame at full width exceeds HBM);
+    with a deterministic scene (no area lights) the split render is
+    bit-identical to the one-shot render."""
+    import ndt_tpu.render.engine as eng
+    from ndt_tpu.render.engine import gen_rays, render_rays
+    from ndt_tpu.render.pallas_trace import RT
+
+    scn = Scene("submap_t", 4)
+    scn.ambient[:] = 0.2
+    lgt = scn.add_light()
+    lgt.pos = np.array([0.0, 50.0, 0.0, 0.0])
+    lgt.set_color(200, 200, 200)
+    floor = scn.add_object("hplane").set_color(.6, .6, .6)
+    floor.add_pos(np.array([0.0, -5.0, 0.0, 0.0]))
+    floor.add_dir(np.array([0.0, 1.0, 0.0, 0.0]))
+    glass = scn.add_object("sphere").set_color(.2, .2, .7)
+    glass.transparent = 1
+    glass.refract_index = 1.44
+    glass.add_pos(np.array([0.0, 2.0, -20.0, 0.0]))
+    glass.add_size(3.0)
+    scn.cam.set_aim(np.array([0.0, 5.0, 20.0, 0.0]), np.zeros(4),
+                    np.array([0.0, 10.0, 0.0, 0.0]), 0.0)
+    scn.cam.aim()
+
+    dt = np.float32
+    sd = compile_scene(scn, dt)
+    assert sd.has_transparent
+    cd = scn.cam.data(dt)
+    R = RT * 4
+    w, h = RT // 32, 128
+    xx, yy = _pixel_grid(w, h, np.dtype(dt))
+    x, y = jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel())
+    key = jax.random.PRNGKey(5)
+    opts = RenderOptions(width=w, height=h, samples=1, tile=R,
+                         max_optic_depth=6)
+    o, v = gen_rays(cd, x, y, key, opts, "center", False, False)
+
+    outs = {}
+    for cap in (R, R // 4):
+        monkeypatch.setattr(eng, "_STACK_TILE", cap)
+        jax.clear_caches()
+        c, d, n = jax.jit(render_rays, static_argnames="opts")(
+            sd, o, v, key, opts)
+        outs[cap] = (np.asarray(c), np.asarray(d), int(n))
+    jax.clear_caches()
+    (c1, d1, n1), (c4, d4, n4) = outs[R], outs[R // 4]
+    assert n1 == n4
+    np.testing.assert_array_equal(d1, d4)
+    np.testing.assert_array_equal(c1, c4)
+
+
+def test_chunked_facets_trace_matches_jnp(monkeypatch):
+    """Facet/hfacet families now chunk like every other family
+    (compile._pack_chunked) instead of falling back to a dense [R, N] jnp
+    merge per trace call -- which made dense facet-bearing scenes
+    pathologically slow.  Force chunking on a mixed scene with both facet
+    families and compare the interpret-mode megakernel's merged winners
+    against the jnp path."""
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.scene import compile as compile_mod
+
+    rng = np.random.RandomState(7)
+    scn = Scene("fctmix", 4)
+    scn.ambient[:] = 0.2
+    lgt = scn.add_light()
+    lgt.pos = np.array([0.0, 50.0, 10.0, 0.0])
+    lgt.set_color(200, 200, 200)
+    for i in range(6):
+        s = scn.add_object("sphere").set_color(.7, .3, .3)
+        s.add_pos(np.array([i * 3.0 - 7.5, 1.0, -18.0, 0.0]))
+        s.add_size(1.2)
+    for i in range(8):
+        base = np.array([rng.uniform(-8, 8), rng.uniform(-2, 6),
+                         rng.uniform(-26, -14), 0.0])
+        fct = scn.add_object("facet" if i % 2 else "hfacet")
+        fct.set_color(.3, .6, .3)
+        for j in range(3):
+            fct.add_pos(base + np.concatenate(
+                [rng.uniform(-2, 2, 3), [0.0]]))
+        for j in range(3):
+            fct.add_dir(np.array([0.0, 1.0, 0.0, 0.0]))
+        fct.add_flag(0)
+    scn.cam.set_aim(np.array([0.0, 4.0, 12.0, 0.0]),
+                    np.array([0.0, 0.0, -20.0, 0.0]),
+                    np.array([0.0, 10.0, 0.0, 0.0]), 0.0)
+    scn.cam.aim()
+    monkeypatch.setattr(compile_mod, "_SMEM_BUDGET", 6 * 1024)
+    sd = compile_scene(scn, np.float32)
+    assert len(sd.pmeta) >= 2            # actually chunked
+    assert any(m.n_fct or m.n_hf for m in sd.pmeta)
+
+    dt = np.float32
+    cd = scn.cam.data(dt)
+    xx, yy = _pixel_grid(64, 48, np.dtype(dt))
+    from ndt_tpu.render.engine import gen_rays
+
+    opts = RenderOptions(width=64, height=48, samples=1, tile=64 * 48)
+    o, v = gen_rays(cd, jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel()),
+                    jax.random.PRNGKey(0), opts, "center", False, False)
+
+    trace_mod.set_trace_impl("pallas-interpret")
+    try:
+        tr_p = trace_mod.trace(sd, o, v, need_normal=True)
+        sh_p = trace_mod.shadow_trace(sd, o, v,
+                                      jnp.full(o.shape[0], 100.0, dt))
+    finally:
+        trace_mod.set_trace_impl("jnp")
+    try:
+        tr_j = trace_mod.trace(sd, o, v, need_normal=True)
+        sh_j = trace_mod.shadow_trace(sd, o, v,
+                                      jnp.full(o.shape[0], 100.0, dt))
+    finally:
+        trace_mod.set_trace_impl("auto")
+
+    hit_p, hit_j = np.asarray(tr_p.hit), np.asarray(tr_j.hit)
+    assert hit_p.any()
+    assert (hit_p == hit_j).mean() > 0.999   # knife-edge margins may differ
+    agree = hit_p & hit_j
+    np.testing.assert_allclose(np.asarray(tr_p.t)[agree],
+                               np.asarray(tr_j.t)[agree], rtol=2e-4,
+                               atol=2e-3)
+    assert (np.asarray(tr_p.mat_id)[agree]
+            == np.asarray(tr_j.mat_id)[agree]).mean() > 0.999
+    s_agree = np.asarray(sh_p.hit) & np.asarray(sh_j.hit)
+    assert (np.asarray(sh_p.mat_id)[s_agree]
+            == np.asarray(sh_j.mat_id)[s_agree]).mean() > 0.999
