@@ -260,7 +260,9 @@ def main(argv=None):
         os.makedirs(out_dir, exist_ok=True)
         fname = os.path.join(out_dir, f"{scn.name}_{res_str}_{i:04d}.png")
 
-        if args.write_yaml:
+        if args.write_yaml and (proc_count == 1 or proc_id == 0):
+            # rank-0-writes, like the image saves below: in multihost r/p
+            # every process reaches this point with the same scene
             from ndt_tpu.scene.yaml_io import scene_write_yaml
 
             ydir = os.path.join("yaml", scn.name)

@@ -17,6 +17,8 @@ frames on distinct mesh slices / processes -- see render/animate.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +59,41 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sh)
 
 
+@functools.lru_cache(maxsize=64)
+def _rays_program(mesh: Mesh, opts):
+    """Compiled shard_map program for render_rays_sharded, cached on
+    (mesh, opts) -- jit keys on the callable, so rebuilding the closure per
+    call would retrace + recompile the megakernel program every frame."""
+    from ndt_tpu.render.engine import render_rays
+
+    def body(scene, os_, vs_, k):
+        c, d, n = render_rays(scene, os_, vs_, k, opts)
+        return c, d, jax.lax.psum(n, "px")
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("px"), P("px"), P()),
+        out_specs=(P("px"), P("px"), P()),
+        check_vma=False))
+
+
+@functools.lru_cache(maxsize=64)
+def _grid_program(mesh: Mesh, opts, eye: str):
+    """Compiled shard_map program for render_grid_sharded (see
+    _rays_program for why this is cached)."""
+    from ndt_tpu.render.engine import render_tile_fused as render_tile
+
+    def body(scene, cam, xs, ys, k):
+        c, d, n = render_tile(scene, cam, xs, ys, k, opts, eye)
+        return c, d, jax.lax.psum(n, "px")
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("px"), P("px"), P()),
+        out_specs=(P("px"), P("px"), P()),
+        check_vma=False))
+
+
 def render_rays_sharded(scene_data, o, v, key, opts, mesh: Mesh):
     """Render a pre-generated ray batch with rays sharded across the mesh
     (used by the adaptive sampler so `-b r` composes with samples > 1).
@@ -65,17 +102,7 @@ def render_rays_sharded(scene_data, o, v, key, opts, mesh: Mesh):
 
     scene_r = replicate(mesh, scene_data)
     o_s, v_s = shard_rays(mesh, jnp.asarray(o), jnp.asarray(v))
-
-    def body(scene, os_, vs_, k):
-        c, d, n = render_rays(scene, os_, vs_, k, opts)
-        return c, d, jax.lax.psum(n, "px")
-
-    fn = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P("px"), P("px"), P()),
-        out_specs=(P("px"), P("px"), P()),
-        check_vma=False))
-    color, depth, nrays = fn(scene_r, o_s, v_s, key)
+    color, depth, nrays = _rays_program(mesh, opts)(scene_r, o_s, v_s, key)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -99,22 +126,11 @@ def render_grid_sharded(scene_data, cam_data, x, y, key, opts, mesh: Mesh,
     partitioner, even on a 1-device mesh -- the while-loop + pallas
     custom-call mix defeats it; manual sharding is the TPU-native shape.)
     """
-    from ndt_tpu.render.engine import render_tile_fused as render_tile
-
     scene_r = replicate(mesh, scene_data)
     cam_r = replicate(mesh, cam_data)
     x_s, y_s = shard_rays(mesh, jnp.asarray(x), jnp.asarray(y))
-
-    def body(scene, cam, xs, ys, k):
-        c, d, n = render_tile(scene, cam, xs, ys, k, opts, eye)
-        return c, d, jax.lax.psum(n, "px")
-
-    fn = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(), P("px"), P("px"), P()),
-        out_specs=(P("px"), P("px"), P()),
-        check_vma=False))
-    color, depth, nrays = fn(scene_r, cam_r, x_s, y_s, key)
+    color, depth, nrays = _grid_program(mesh, opts, eye)(
+        scene_r, cam_r, x_s, y_s, key)
     if jax.process_count() > 1:
         # image collect (ndt.c:1277-1309's tree reduction): all-gather the
         # px-sharded framebuffer so every process holds the full frame

@@ -111,17 +111,26 @@ def render_animation_multidevice(scene_mod, dimensions: int, first: int,
     pending = []  # (index, device arrays)
     os.makedirs(out_dir, exist_ok=True)
     total_rays = 0
+    mine = None
+    if frame_stride is not None:
+        from ndt_tpu.parallel.distributed import process_frame_indices
+
+        mine = set(process_frame_indices(first, last, *frame_stride))
+    n_dispatched = 0
     for i in range(0, last + 1):
         scn = Scene("scene", dimensions)
         scene_mod.scene_setup(scn, dimensions, i, total, config)
         if i < first:
             continue
-        if frame_stride is not None and \
-                (i - first) % frame_stride[1] != frame_stride[0]:
+        if mine is not None and i not in mine:
             continue
         if not scn.cam.prepared:
             scn.cam.aim()
-        dev = devices[(i - first) % len(devices)]
+        # round-robin over THIS process's rendered frames -- indexing by
+        # the global frame number would collide with the frame stride
+        # (gcd(proc_count, n_devices) > 1 leaves devices idle)
+        dev = devices[n_dispatched % len(devices)]
+        n_dispatched += 1
         sd = jax.device_put(compile_scene(scn, dt), dev)
         cd = scn.cam.data(dt.type)
         cd = dc.replace(cd, dir_x=cd.dir_x * dt.type(opts.width / opts.height))

@@ -137,6 +137,29 @@ def _node_budget(opts: RenderOptions, has_transparent: bool) -> int:
 _STACK_TILE = int(os.environ.get("NDT_STACK_TILE", 1 << 19))
 
 
+def _compact_quantum(opts: RenderOptions) -> int:
+    """Batch-width multiple required by the two-level block compaction
+    (R must divide into RT-ray kernel tiles at BOTH compaction levels)."""
+    from ndt_tpu.render.pallas_trace import RT
+
+    return RT * opts.compact * opts.compact
+
+
+def _pad_dead(o, v, quantum):
+    """Pad a ray batch to a multiple of ``quantum`` with dead lanes (finite
+    dummy geometry at the tail; callers mark the pad lanes inactive so they
+    trace nothing and count nothing, then slice outputs back to the
+    original length)."""
+    R0, D = o.shape
+    pad = (-R0) % quantum
+    if pad == 0:
+        return o, v, R0
+    o = jnp.concatenate([o, jnp.zeros((pad, D), o.dtype)])
+    vp = jnp.zeros((pad, D), v.dtype).at[:, 0].set(1.0)
+    v = jnp.concatenate([v, vp])
+    return o, v, R0
+
+
 def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
     """Trace a batch of primary rays to completion IN ONE XLA PROGRAM
     (used inside outer jits: sharding dry-runs, tests).  The host path
@@ -144,21 +167,32 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
     in a single device program can outrun execution watchdogs."""
     if not scene.has_transparent:
         return _render_rays_chain(scene, o, v, key, opts)
-    R = o.shape[0]
-    if R <= _STACK_TILE or R % _STACK_TILE != 0:
+    R0 = o.shape[0]
+    # sub-batch width: the HBM cap, rounded up so each sub-batch satisfies
+    # the compaction quantum (caps below the quantum stay as-is -- those
+    # sub-batches run the while_loop path, still memory-bounded)
+    q = _compact_quantum(opts)
+    tile = _STACK_TILE
+    if opts.compact > 1 and tile >= q:
+        tile += (-tile) % q
+    if R0 <= tile:
         return _render_rays_stack(scene, o, v, key, opts)
+    o, v, _ = _pad_dead(o, v, tile)
+    R = o.shape[0]
+    n_sub = R // tile
+    live = (jnp.arange(R) < R0).reshape(n_sub, tile)
 
     def one(args):
-        i, oc, vc = args
+        i, oc, vc, lv = args
         return _render_rays_stack(scene, oc, vc,
-                                  jax.random.fold_in(key, i), opts)
+                                  jax.random.fold_in(key, i), opts,
+                                  live0=lv)
 
-    n_sub = R // _STACK_TILE
     c, d, n = jax.lax.map(
         one, (jnp.arange(n_sub, dtype=jnp.int32),
-              o.reshape(n_sub, _STACK_TILE, -1),
-              v.reshape(n_sub, _STACK_TILE, -1)))
-    return c.reshape(R, 3), d.reshape(R), n.sum()
+              o.reshape(n_sub, tile, -1),
+              v.reshape(n_sub, tile, -1), live))
+    return c.reshape(R, 3)[:R0], d.reshape(R)[:R0], n.sum()
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -294,19 +328,27 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     for the megakernel's per-tile cull.  Live blocks beyond the compact
     capacity finish in a full-width overflow loop (normally zero-trip) --
     no ray is ever dropped."""
-    R = o.shape[0]
-    cond, body = _chain_loop(scene, R, o.dtype, opts)
-    carry = _chain_init(scene, o, v, key, opts)
-
-    from ndt_tpu.render.pallas_trace import RT
-
+    R0 = o.shape[0]
     # opts.max_optic_depth < 1 must render a black frame like the
     # while_loop path (zero bounce iterations), so it cannot take the
     # compaction path whose primary bounce below runs unconditionally
-    if (opts.compact <= 1 or opts.max_optic_depth < 1
-            or R % (RT * opts.compact * opts.compact) != 0):
+    q = _compact_quantum(opts)
+    compactable = (opts.compact > 1 and opts.max_optic_depth >= 1
+                   and R0 >= q)
+    if compactable and R0 % q != 0:
+        # non-divisible widths (e.g. per-shard slices of a mesh-sharded
+        # frame) pad with dead lanes rather than losing compaction
+        o, v, _ = _pad_dead(o, v, q)
+    R = o.shape[0]
+    cond, body = _chain_loop(scene, R, o.dtype, opts)
+    carry = _chain_init(scene, o, v, key, opts)
+    if R != R0:
+        carry = (carry[:1] + (carry[1] & (jnp.arange(R) < R0),)
+                 + carry[2:])
+
+    if not compactable:
         carry = jax.lax.while_loop(cond, body, carry)
-        return carry[6], carry[7], carry[8]
+        return carry[6][:R0], carry[7][:R0], carry[8]
 
     carry = body(carry)                       # primary bounce, full width
 
@@ -338,7 +380,7 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
 
     # level-1 overflow: finish at full width
     carry = jax.lax.while_loop(cond, body, carry[:1] + (over1,) + carry[2:])
-    return carry[6], carry[7], carry[8]
+    return carry[6][:R0], carry[7][:R0], carry[8]
 
 
 def _dir_sort_perm(o, v, active, blk=256):
@@ -564,7 +606,8 @@ def _stack_loop(scene, R, dt, opts):
     return cond, body
 
 
-def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions):
+def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions,
+                       live0=None):
     """General scenes (reflection + refraction): per-ray bounce stack.
 
     Same two-level block compaction as the chain loop: after the primary
@@ -574,16 +617,28 @@ def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions):
     trace+shade iterations a refractive scene would otherwise pay dominate
     by far), with a second compaction level and zero-trip overflow loops at
     each parent width."""
+    R0 = o.shape[0]
+    q = _compact_quantum(opts)
+    compactable = opts.compact > 1 and R0 >= q
+    if compactable and R0 % q != 0:
+        o, v, _ = _pad_dead(o, v, q)
     R = o.shape[0]
     carry = _stack_init(scene, o, v, key, opts)
+    dead = None
+    if R != R0:
+        dead = jnp.arange(R) >= R0
+    if live0 is not None:
+        lv = live0 if dead is None else (live0 & ~dead)
+        dead = ~lv
+    if dead is not None:
+        # dead lanes start with an empty stack: they trace nothing and
+        # count nothing
+        carry = carry[:1] + (jnp.where(dead, 0, carry[1]),) + carry[2:]
     cond, body = _stack_loop(scene, R, o.dtype, opts)
 
-    from ndt_tpu.render.pallas_trace import RT
-
-    if (opts.compact <= 1
-            or R % (RT * opts.compact * opts.compact) != 0):
+    if not compactable:
         carry = jax.lax.while_loop(cond, body, carry)
-        return carry[7], carry[8], carry[9]
+        return carry[7][:R0], carry[8][:R0], carry[9]
 
     carry = body(carry)                       # primary node, full width
 
@@ -606,7 +661,7 @@ def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions):
 
     # level-1 overflow: finish at full width
     carry = jax.lax.while_loop(cond, body, carry[:1] + (over1,) + carry[2:])
-    return carry[7], carry[8], carry[9]
+    return carry[7][:R0], carry[8][:R0], carry[9]
 
 
 def _stack_block_compact(scene, carry, divisor, blk=256):

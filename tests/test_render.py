@@ -827,3 +827,57 @@ def test_chunked_facets_trace_matches_jnp(monkeypatch):
     s_agree = np.asarray(sh_p.hit) & np.asarray(sh_j.hit)
     assert (np.asarray(sh_p.mat_id)[s_agree]
             == np.asarray(sh_j.mat_id)[s_agree]).mean() > 0.999
+
+
+def test_chain_compaction_pads_nondivisible_width():
+    """Batch widths that don't divide the compaction quantum (e.g.
+    per-shard slices of a mesh-sharded 1080p frame) pad with dead lanes
+    instead of silently losing compaction (engine._pad_dead): identical
+    colors/depth/ray counts vs the full-width loop, and outputs sliced
+    back to the caller's width."""
+    from ndt_tpu.render.engine import gen_rays, render_rays
+    from ndt_tpu.render.pallas_trace import RT
+
+    scn = Scene("compact_pad", 4)
+    scn.ambient[:] = 0.2
+    lgt = scn.add_light()
+    lgt.pos = np.array([0.0, 50.0, 0.0, 0.0])
+    lgt.set_color(200, 200, 200)
+    floor = scn.add_object("hplane").set_color(.6, .6, .6)
+    floor.set_reflect(.4, .4, .4)
+    floor.add_pos(np.array([0.0, -5.0, 0.0, 0.0]))
+    floor.add_dir(np.array([0.0, 1.0, 0.0, 0.0]))
+    s = scn.add_object("sphere").set_color(.7, .2, .2)
+    s.set_reflect(.5, .5, .5)
+    s.add_pos(np.array([0.0, 2.0, -20.0, 0.0]))
+    s.add_size(3.0)
+    scn.cam.set_aim(np.array([0.0, 5.0, 20.0, 0.0]), np.zeros(4),
+                    np.array([0.0, 10.0, 0.0, 0.0]), 0.0)
+    scn.cam.aim()
+
+    dt = np.float32
+    sd = compile_scene(scn, dt)
+    cd = scn.cam.data(dt)
+    q = RT * 4 * 4
+    R = q + 512                    # not a quantum multiple
+    w, h = 512, R // 512
+    assert w * h == R
+    xx, yy = _pixel_grid(w, h, np.dtype(dt))
+    x, y = jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel())
+    key = jax.random.PRNGKey(9)
+
+    outs = {}
+    for compact in (0, 4):
+        opts = RenderOptions(width=w, height=h, samples=1, tile=R,
+                             compact=compact, max_optic_depth=8)
+        o, v = gen_rays(cd, x, y, key, opts, "center", False, False)
+        c, d, n = jax.jit(render_rays, static_argnames="opts")(
+            sd, o, v, key, opts)
+        outs[compact] = (np.asarray(c), np.asarray(d), int(n))
+    c0, d0, n0 = outs[0]
+    c4, d4, n4 = outs[4]
+    assert c4.shape == (R, 3) and d4.shape == (R,)
+    assert n0 == n4                # dead pad lanes trace nothing
+    assert n0 > R                  # reflections actually happened
+    np.testing.assert_array_equal(d0, d4)
+    np.testing.assert_allclose(c0, c4, atol=1e-6)
