@@ -126,8 +126,52 @@ def _measure(scene_data, cam, x, y, opts, K_hi=8, reps=5, sharded=False):
     return nrays / render_s / 1e6, nrays, render_s, dispatch_s
 
 
+def _wait_for_device(probe_timeout=120.0):
+    """Wait for a responsive JAX backend; return its platform name.
+
+    The dev harness's device tunnel can hang backend init indefinitely
+    (jax.devices() blocks forever instead of raising).  Probe in throwaway
+    subprocesses -- a hung probe can be killed and retried, whereas a hung
+    jax import in THIS process would poison the cached backend for the
+    whole run.  Retries until the tunnel answers or NDT_BENCH_TUNNEL_WAIT
+    seconds (default 1800) lapse; returns '' on give-up so main() can emit
+    an explicit error record instead of stalling the driver."""
+    import subprocess
+
+    max_wait = float(os.environ.get("NDT_BENCH_TUNNEL_WAIT", "1800"))
+    deadline = time.time() + max_wait
+    code = "import jax; print(jax.devices()[0].platform)"
+    while True:
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout)
+            if p.returncode == 0 and p.stdout.strip():
+                return p.stdout.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return ""
+        print("bench: device tunnel unresponsive, retrying...",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
     import numpy as np
+
+    platform = _wait_for_device()
+    if not platform:
+        print(json.dumps({
+            "metric": "Mrays/s/chip (4-D balls @1080p)",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "device tunnel unresponsive: jax backend "
+                                "init hung past NDT_BENCH_TUNNEL_WAIT; no "
+                                "measurement taken"},
+        }))
+        return 1
 
     import jax
 
