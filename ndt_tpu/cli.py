@@ -166,7 +166,11 @@ def main(argv=None):
 
     dist_mode = (args.dist_mode or "").strip()[:1].lower() if args.dist_mode \
         else ""
+    # --num-processes/--process-id imply multi-host: silently ignoring them
+    # would have every rank render (and write) the whole job as process 0
     multihost = (args.multihost or args.coordinator
+                 or args.num_processes is not None
+                 or args.process_id is not None
                  or os.environ.get("NDT_COORDINATOR"))
     proc_id, proc_count = 0, 1
     if multihost:

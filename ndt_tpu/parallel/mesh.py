@@ -49,14 +49,23 @@ def shard_rays(mesh: Mesh, *arrays):
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree over the mesh (the scene 'broadcast': the SPMD
     program ships no bytes, every process already has the value --
-    vs the reference's YAML-over-MPI_Bcast, ndt.c:1153-1246)."""
+    vs the reference's YAML-over-MPI_Bcast, ndt.c:1153-1246).
+
+    Idempotent: leaves already placed with this sharding pass through
+    untouched, so callers in per-tile/per-round loops (adaptive sampling,
+    whitted refinement) can pre-replicate the scene once and every
+    subsequent call is free."""
     sh = NamedSharding(mesh, P())
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda a: jax.make_array_from_callback(
-                np.shape(a), sh, lambda idx, a=a: np.asarray(a)[idx]),
-            tree)
-    return jax.device_put(tree, sh)
+
+    def put(a):
+        if isinstance(a, jax.Array) and a.sharding == sh:
+            return a
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                np.shape(a), sh, lambda idx: np.asarray(a)[idx])
+        return jax.device_put(a, sh)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 @functools.lru_cache(maxsize=64)

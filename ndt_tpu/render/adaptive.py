@@ -49,7 +49,12 @@ def _render_points(scene_data, cam_data, gx, gy, amap, key, opts, eye,
     x = (ax * gx + bx).astype(dt)
     y = (ay * gy + by).astype(dt)
     P = len(x)
-    pad = (-P) % RT
+    mesh = opts.devices        # -b r composes with -w: refinement batches
+    n_dev = 1                  # shard over the mesh like the corner grid
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    quantum = RT if RT % n_dev == 0 else RT * n_dev
+    pad = (-P) % quantum
     if pad:
         x = np.concatenate([x, np.zeros(pad, dt)])
         y = np.concatenate([y, np.zeros(pad, dt)])
@@ -57,7 +62,12 @@ def _render_points(scene_data, cam_data, gx, gy, amap, key, opts, eye,
                                               "aperture"))(
         cam_data, jnp.asarray(x), jnp.asarray(y), key, opts, eye, False,
         aperture)
-    c, d, n = render_rays_chunked(scene_data, o, v, key, opts)
+    if mesh is not None:
+        from ndt_tpu.parallel.mesh import render_rays_sharded
+
+        c, d, n = render_rays_sharded(scene_data, o, v, key, opts, mesh)
+    else:
+        c, d, n = render_rays_chunked(scene_data, o, v, key, opts)
     return np.asarray(c)[:P], int(n)
 
 
@@ -74,6 +84,11 @@ def whitted_refine(scene_data, cam_data, corners, opts: RenderOptions,
     if amap is None:
         amap = (1.0 / (W + 1), -0.5, -1.0 / (H + 1), 0.5)
     thresh = aa_diff / 255.0
+    if opts.devices is not None:
+        from ndt_tpu.parallel.mesh import replicate
+
+        # replicate once; per-level render_rays_sharded calls are then free
+        scene_data = replicate(opts.devices, scene_data)
 
     c1 = corners[:-1, :-1]   # (i, j)
     c2 = corners[:-1, 1:]    # (i+1, j)
@@ -178,6 +193,11 @@ def render_adaptive_samples(scene_data, cam_data, x, y, key,
     n_dev = 1                  # round's compacted batch is mesh-sharded
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        from ndt_tpu.parallel.mesh import replicate
+
+        # replicate once: render_rays_sharded's replicate() is idempotent,
+        # so the per-round calls below ship no scene bytes
+        scene_data = replicate(mesh, scene_data)
     batch_quantum = RT if RT % n_dev == 0 else RT * n_dev
 
     P = len(x)

@@ -742,6 +742,9 @@ def _pack_chunked(sd: "SceneData"):
             # + bounds
             "facets": 4 * ((10 * D + 11) + 2 + (D + 1)),
             "hfacets": 4 * ((7 * D + 12) + 2 + (D + 1))}
+    # every object row additionally costs one per-tile cull-list slot
+    # (int32) and one reach slot (f32) of SMEM in the kernel call
+    cost = {f: c + 8 for f, c in cost.items()}
     budget = _SMEM_BUDGET - 4 * N_PROPS * sd.n_materials - 4096
     if budget < 4 * max(cost.values()):
         raise ValueError(
