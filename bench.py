@@ -227,6 +227,20 @@ def main():
             except Exception as e:  # record, never sink the headline
                 configs[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # C reference binary (-O3 -t 1) on the SAME configs, measured once on
+    # this dev host's single vCPU 2026-08-18 (the reference publishes no
+    # numbers; see BASELINE.md and docs/ARCHITECTURE.md section 10) --
+    # static context for detail.configs' seconds_per_frame_device
+    c_ref_s_per_frame = {
+        "balls_1080p_headline": 13.16,
+        "hypercube": 2.11,
+        "hypercube_walls": 7.41,
+        "random150_5d": 30.72,
+        "cluster5d": 12.96,
+        "anim6d_sharded": 10.27,
+        "random600_5d": 1332.48,
+    }
+
     baseline = 100.0  # Mrays/s/chip north star (BASELINE.json)
     print(json.dumps({
         "metric": "Mrays/s/chip (4-D balls @1080p)",
@@ -240,6 +254,7 @@ def main():
             "seconds_incl_host_download": round(e2e_s, 4),
             "resolution": "1920x1080",
             "configs": configs,
+            "c_reference_s_per_frame_1core_static": c_ref_s_per_frame,
         },
     }))
 

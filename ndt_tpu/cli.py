@@ -72,7 +72,8 @@ def build_argparser():
     p.add_argument("-h", dest="help", action="store_true")
     p.add_argument("-k", dest="cluster_k", type=int, default=6)
     p.add_argument("-l", dest="max_depth", type=int, default=128)
-    p.add_argument("-m", dest="stereo", default="m")
+    # -3 is the reference's alias for -m (ndt.c:1533-1534)
+    p.add_argument("-m", "-3", dest="stereo", default="m")
     p.add_argument("-n", dest="samples", type=int, default=1)
     p.add_argument("-o", dest="obj_dir", default=None)
     p.add_argument("-p", dest="no_specular", action="store_true")

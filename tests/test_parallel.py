@@ -154,3 +154,16 @@ def test_sharded_adaptive_sampling_matches_single_device():
     img8, _, n8 = render_frame(scene(), opts8)
     assert n1 == n8
     np.testing.assert_array_equal(img1, img8)
+
+    # -b r also composes with -w: the refinement midpoint batches shard
+    # over the mesh and must stay bit-identical to the single-device path
+    optsw1 = RenderOptions(width=24, height=16, samples=1, whitted=True,
+                           aa_diff=4, aa_depth=2, tile=25 * 17)
+    imgw1, _, nw1 = render_frame(scene(), optsw1)
+    optsw8 = dataclasses.replace(optsw1, devices=mesh)
+    imgw8, _, nw8 = render_frame(scene(), optsw8)
+    # ray-trace counts are execution-layout-dependent (per-shard bounce
+    # loops retire dead lanes at different iterations), so only the image
+    # must match
+    assert nw8 > 0
+    np.testing.assert_array_equal(imgw1, imgw8)
