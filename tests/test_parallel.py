@@ -116,6 +116,27 @@ def test_cli_yaml_snapshots_rerender(tmp_path, monkeypatch):
     assert frame2.read_bytes() == data
 
 
+def test_cli_num_processes_implies_multihost(tmp_path, monkeypatch):
+    """--num-processes/--process-id without --multihost must still run the
+    distributed bootstrap (silently ignoring them would have every rank
+    render the whole job as process 0)."""
+    import ndt_tpu.parallel.distributed as dist
+    from ndt_tpu.cli import main
+
+    calls = []
+
+    def fake_init(coordinator=None, num_processes=None, process_id=None,
+                  local_device_ids=None):
+        calls.append((coordinator, num_processes, process_id))
+        return 0, 1
+
+    monkeypatch.setattr(dist, "init_distributed", fake_init)
+    monkeypatch.chdir(tmp_path)
+    assert main(["-s", "empty", "-d", "3", "-r", "16x12", "-f", "0:0:300",
+                 "--num-processes", "1", "--process-id", "0"]) == 0
+    assert calls == [(None, 1, 0)]
+
+
 def test_sharded_adaptive_sampling_matches_single_device():
     """-b r now composes with -n samples: the adaptive convergence
     sampler's per-round batches shard over the mesh, and the result must
