@@ -538,10 +538,14 @@ def _build_quadrics(leaves, dim, dt, gates=None):
             # for every scene whose slabs stay under the cap (all goldens).
             if len(boxes[k]) > _GATE_MAX:
                 import warnings
+
+                # stable message (no per-slab counts), so the default
+                # warning filter emits it ONCE per process instead of once
+                # per affected slab (dense scenes have hundreds)
                 warnings.warn(
-                    f"slab gate has {len(boxes[k])} kd cells > "
-                    f"{_GATE_MAX}: falling back to their union box "
-                    "(conservative vs the C's exact traversal)",
+                    f"some slab gates exceed {_GATE_MAX} kd cells: "
+                    "falling back to their union box (conservative vs "
+                    "the C's exact traversal)",
                     RuntimeWarning, stacklevel=2)
                 arr = np.stack(boxes[k])                  # [B_k, D, 2]
                 union = np.stack([arr[:, :, 0].min(0),
