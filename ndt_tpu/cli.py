@@ -153,6 +153,14 @@ def main(argv=None):
         if len(parts) > 2:
             h_fov = float(parts[2]) * np.pi / 180.0
 
+    if args.obj_dir:
+        # the dlopen plugin directory (-o, ndt.c:1578-1580): import every
+        # *.py so it can register custom object types (docs/EXTENDING.md)
+        from ndt_tpu.scene.model import register_objects
+
+        for name in register_objects(args.obj_dir):
+            print(f"registering object module '{name}'.")
+
     mod = get_scene(args.scene)
     dims = args.dimensions
 

@@ -69,6 +69,27 @@ def object_types() -> List[str]:
     return sorted(_REGISTRY.keys())
 
 
+def register_objects(directory: str) -> List[str]:
+    """Import every ``*.py`` in ``directory`` (the dlopen plugin-dir scan,
+    object.c:125-158; CLI ``-o``).  Each module registers its custom types
+    at import time via register_object_type (docs/EXTENDING.md).  Returns
+    the module names loaded, sorted like object_types()."""
+    import importlib.util
+    import os
+
+    loaded = []
+    for fn in sorted(os.listdir(directory)):
+        if not fn.endswith(".py") or fn.startswith("_"):
+            continue
+        path = os.path.join(directory, fn)
+        spec = importlib.util.spec_from_file_location(
+            "ndt_user_objects_" + fn[:-3], path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        loaded.append(fn[:-3])
+    return loaded
+
+
 # The builtin types and their schemas, straight from each plugin's params():
 register_object_type(ObjectTypeInfo("sphere", 1, 0, 1, 0, 0))          # sphere.c:39-50
 register_object_type(ObjectTypeInfo("hplane", 1, 1, 0, 0, 0))          # hplane.c:16-28

@@ -143,6 +143,63 @@ def test_cli_depth_and_yaml(tmp_path, monkeypatch):
     assert (tmp_path / "yaml" / "empty" / "empty_00000.yaml").exists()
 
 
+def test_cli_object_plugin_dir(tmp_path, monkeypatch):
+    """-o loads custom object-type modules from a directory (the dlopen
+    plugin dir, object.c:125-158): the module registers its type at import
+    and a scene file can then build with it."""
+    from ndt_tpu import cli
+
+    objdir = tmp_path / "objects"
+    objdir.mkdir()
+    (objdir / "pair.py").write_text("""
+import numpy as np
+from ndt_tpu.scene.model import Object, ObjectTypeInfo, register_object_type
+
+def expand_pair(obj):
+    out = []
+    for sgn in (-1.0, 1.0):
+        s = Object(obj.dim, "sphere")
+        s.add_pos(obj.pos[0] + sgn * obj.dir[0])
+        s.add_size(obj.size[0])
+        out.append(s)
+    return out
+
+register_object_type(ObjectTypeInfo(
+    "pair", n_pos=1, n_dir=1, n_size=1, n_flag=0, n_obj=0,
+    expand=expand_pair))
+""")
+    scene = tmp_path / "pairscene.py"
+    scene.write_text("""
+import numpy as np
+
+def scene_setup(scn, dimensions, frame, frames, config=None):
+    scn.name = "pairscene"
+    p = scn.add_object("pair", "twin")
+    p.add_pos(np.zeros(dimensions))
+    d = np.zeros(dimensions); d[0] = 3.0
+    p.add_dir(d)
+    p.add_size(1.0)
+    p.set_color(0.9, 0.3, 0.3)
+    lgt = scn.add_light()
+    pos = np.zeros(dimensions); pos[1] = 10.0
+    lgt.pos = pos
+    lgt.set_color(80, 80, 80)
+    scn.ambient[:] = 0.4
+    eye = np.zeros(dimensions); eye[2] = -12.0
+    scn.cam.set_aim(eye, np.zeros(dimensions), None)
+""")
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["-s", str(scene), "-d", "3", "-r", "24x16", "-f",
+                   "0:0:1", "-o", str(objdir)])
+    assert rc == 0
+    out = tmp_path / "images" / "pairscene" / "3d" / "24x16" / \
+        "pairscene_24x16_0000.png"
+    assert out.exists()
+    img = np.asarray(__import__("PIL.Image", fromlist=["open"])
+                     .open(out).convert("RGB"))
+    assert img.max() > 0
+
+
 def test_cli_frame_range_resume(tmp_path, monkeypatch):
     from ndt_tpu import cli
 
