@@ -55,8 +55,8 @@ def _build(scene_key, dim, width, height, frame=0, config=None):
     from ndt_tpu.render.engine import RenderOptions
     from ndt_tpu.render.pallas_trace import RT
     R = xx.size
-    # pad to the two-level compaction granularity so the bounce loop takes
-    # the block-gather fast path (engine._render_rays_chain)
+    # pad to the compaction quantum so the bounce loop takes the adaptive
+    # block-gather ladder (engine._run_adaptive)
     c = RenderOptions.compact
     pad = (-R) % (RT * c * c)
     x = jnp.asarray(np.concatenate([xx.ravel()[perm], np.zeros(pad, dt)]))

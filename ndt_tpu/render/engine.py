@@ -72,11 +72,10 @@ class RenderOptions:
     stack_size: int = 16             # pending refraction branches per ray
     chunk_iters: int = 16            # bounce iterations per device dispatch
     compact: int = 4                 # bounce-survivor compaction divisor:
-                                     # after the primary bounce, 256-lane
-                                     # blocks containing live rays are
-                                     # gathered into an R/compact buffer
-                                     # (overflowing blocks finish in a
-                                     # full-width loop); 0/1 disables
+                                     # 256-lane blocks containing live rays
+                                     # descend a geometric width ladder
+                                     # (R, R/c, R/c^2, ...) as activity
+                                     # decays (_run_adaptive); 0/1 disables
     seed: int = 0
     devices: Optional[object] = None  # jax mesh for tile sharding
 
@@ -138,11 +137,145 @@ _STACK_TILE = int(os.environ.get("NDT_STACK_TILE", 1 << 19))
 
 
 def _compact_quantum(opts: RenderOptions) -> int:
-    """Batch-width multiple required by the two-level block compaction
-    (R must divide into RT-ray kernel tiles at BOTH compaction levels)."""
+    """Batch-width multiple required by the block compaction (R must
+    divide into RT-ray kernel tiles at the first compaction level)."""
     from ndt_tpu.render.pallas_trace import RT
 
     return RT * opts.compact * opts.compact
+
+
+_BLK = 256  # block-mode compaction granularity (NDT_COMPACT_GRAIN=block)
+# descend granularity: "lane" packs live LANES tightly via a cumsum stable
+# partition (handles spatially-uniform liveness -- e.g. random's
+# transparent objects scattered across the whole screen, where 256-lane
+# blocks almost all stay live and block descent stalls at full width);
+# "block" moves whole 256-lane blocks (contiguous DMA, preserves screen-
+# blocked tile coherence exactly).  Lane is the default: the stable
+# partition keeps live lanes in screen order, so tile coherence degrades
+# only as much as the survivor set itself is scattered.
+_COMPACT_GRAIN = os.environ.get("NDT_COMPACT_GRAIN", "lane")
+
+
+def _level_widths(R: int, c: int) -> list:
+    """Static widths of the adaptive compaction ladder: R, R/c, R/c^2, ...
+    while the next width still holds whole compaction grains and at least
+    one RT-ray kernel tile's worth of work."""
+    from ndt_tpu.render.pallas_trace import RT
+
+    grain = _BLK if _COMPACT_GRAIN == "block" else 128
+    widths = [R]
+    while widths[-1] % (grain * c) == 0 and widths[-1] // c >= RT:
+        widths.append(widths[-1] // c)
+    return widths
+
+
+def _compact_descend(carry, live_mask, divisor):
+    """Gather every live lane (or 256-lane block) of ``carry`` into a
+    width/divisor child carry.  The caller's loop condition guarantees the
+    live count fits, so -- unlike the old fixed two-level scheme -- there
+    is no overflow remainder to finish at the parent width.
+
+    Carry layout contract (shared by chain and stack mode): element 0 is
+    the iteration counter, elements [1:-4] are per-lane state (gathered),
+    and the tail is (color, depth, nrays, key).  The child accumulates
+    color/nrays from zero; ``merge(parent, child)`` scatter-adds them back
+    (gather indices are unique, so no sort-based scatter).  Depth travels
+    WITH the gathered lanes (gather down, scatter-set back up): it is
+    written only by the primary iteration (``it == 0``), and when the
+    initial live set is sparse (a mostly-dead tail sub-batch via
+    ``live0``) the ladder legitimately descends before the primary
+    iteration has run, so the child's depth writes must survive the
+    merge."""
+    it = carry[0]
+    per_lane = carry[1:-4]
+    color, depth, nrays, key = carry[-4:]
+    R = live_mask.shape[0]
+    R2 = R // divisor
+
+    if _COMPACT_GRAIN == "block":
+        nb = R // _BLK
+        cap = nb // divisor
+        blk_live = live_mask.reshape(nb, _BLK).any(1)
+        # stable partition of block ids: live blocks first, original order
+        _, order = jax.lax.sort_key_val(
+            (~blk_live).astype(jnp.int32), jnp.arange(nb, dtype=jnp.int32),
+            is_stable=True)
+        src = ((order[:cap, None] * _BLK
+                + jnp.arange(_BLK, dtype=jnp.int32)[None, :])
+               .reshape(R2))
+    else:
+        # stable live-first partition of LANES without a sort: two cumsums
+        # assign each lane its destination slot, a unique scatter inverts
+        live32 = live_mask.astype(jnp.int32)
+        c_live = jnp.cumsum(live32)                 # 1-based rank among live
+        nlive = c_live[-1]
+        iota = jnp.arange(R, dtype=jnp.int32)
+        c_dead = iota + 1 - c_live                  # 1-based rank among dead
+        dst = jnp.where(live_mask, c_live - 1, nlive + c_dead - 1)
+        src = jnp.zeros((R,), jnp.int32).at[dst].set(
+            iota, unique_indices=True)[:R2]
+
+    def lgather(a):
+        return a[src]
+
+    child = ((it,) + tuple(lgather(a) for a in per_lane)
+             + (jnp.zeros((R2, 3), color.dtype), lgather(depth),
+                jnp.zeros((), nrays.dtype), jax.random.fold_in(key, 1)))
+
+    def merge(parent, kid):
+        pcolor = parent[-4].at[src].add(kid[-4], unique_indices=True)
+        pdepth = parent[-3].at[src].set(kid[-3], unique_indices=True)
+        return parent[:-4] + (pcolor, pdepth, parent[-2] + kid[-2],
+                              parent[-1])
+
+    return child, merge
+
+
+def _run_adaptive(carry, opts: RenderOptions, loop_factory, live_of,
+                  chain_mode=False):
+    """Adaptive multi-level bounce loop: at each width, iterate while the
+    live 256-lane block count exceeds the next level's capacity, then
+    gather ALL live blocks one level down and continue there.  The ladder
+    narrows exactly as fast as the workload's own activity decay allows --
+    scenes whose activity collapses after the primary bounce descend
+    immediately (the old fixed schedule), while scenes with a reflective
+    floor (every primary ray spawns a child) or deep refraction tails
+    (anim6d: ~245 stack iterations, <4% of blocks live past iteration 10)
+    run each phase at the narrowest width that holds it.  Replaces the
+    fixed two-level schedule whose overflow loops ran such tails at FULL
+    width (measured 59.6 s/frame for anim6d@480p on a v5e; the reference's
+    per-ray recursion never faces this because each C ray pays only for
+    its own path tree, ndt.c:329-450)."""
+    c = opts.compact
+    R = live_of(carry).shape[0]
+    widths = _level_widths(R, c)
+
+    def run(k, carry):
+        cond_base, body = loop_factory(widths[k])
+        if k + 1 == len(widths):
+            return jax.lax.while_loop(cond_base, body, carry)
+        if _COMPACT_GRAIN == "block":
+            cap = (widths[k] // _BLK) // c
+            count = lambda cc: live_of(cc).reshape(-1, _BLK).any(1).sum()
+        else:
+            cap = widths[k + 1]
+            count = lambda cc: live_of(cc).sum()
+
+        def cond(cc):
+            return cond_base(cc) & (count(cc) > cap)
+
+        carry = jax.lax.while_loop(cond, body, carry)
+        # descend: either every live block fits in the child width, or the
+        # base condition is exhausted and the child loops are zero-trip
+        child, merge = _compact_descend(carry, live_of(carry), c)
+        if chain_mode and k == 0 and _DIR_SORT:
+            child, unsort = _dir_sort_chain(child)
+            child = unsort(run(k + 1, child))
+        else:
+            child = run(k + 1, child)
+        return merge(carry, child)
+
+    return run(0, carry)
 
 
 def _pad_dead(o, v, quantum):
@@ -318,68 +451,36 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     loop carries the continuation ray directly -- no per-ray stack, no
     gather/scatter traffic.
 
-    When the batch is large, the loop runs the primary bounce at full width
-    and then gathers the 256-lane BLOCKS that still contain live rays into
-    an R/opts.compact buffer (typically <10% of primary rays reflect onward,
-    and a full-width iteration costs the same whether 5% or 100% of lanes
-    are alive).  Block granularity keeps every data movement contiguous --
-    a big per-lane scatter lowers to an XLA sort that costs more than it
-    saves -- and the stable block order preserves screen-blocked coherence
-    for the megakernel's per-tile cull.  Live blocks beyond the compact
-    capacity finish in a full-width overflow loop (normally zero-trip) --
-    no ray is ever dropped."""
+    When the batch is large, the adaptive compaction ladder (_run_adaptive)
+    gathers the 256-lane BLOCKS that still contain live rays down a
+    geometric width ladder as activity decays (typically <10% of primary
+    rays reflect onward, and a full-width iteration costs the same whether
+    5% or 100% of lanes are alive).  Block granularity keeps every data
+    movement contiguous -- a big per-lane scatter lowers to an XLA sort
+    that costs more than it saves -- and the stable block order preserves
+    screen-blocked coherence for the megakernel's per-tile cull.  No ray
+    is ever dropped: a level only descends when every live block fits."""
     R0 = o.shape[0]
-    # opts.max_optic_depth < 1 must render a black frame like the
-    # while_loop path (zero bounce iterations), so it cannot take the
-    # compaction path whose primary bounce below runs unconditionally
     q = _compact_quantum(opts)
-    compactable = (opts.compact > 1 and opts.max_optic_depth >= 1
-                   and R0 >= q)
+    compactable = opts.compact > 1 and R0 >= q
     if compactable and R0 % q != 0:
         # non-divisible widths (e.g. per-shard slices of a mesh-sharded
         # frame) pad with dead lanes rather than losing compaction
         o, v, _ = _pad_dead(o, v, q)
     R = o.shape[0]
-    cond, body = _chain_loop(scene, R, o.dtype, opts)
     carry = _chain_init(scene, o, v, key, opts)
     if R != R0:
         carry = (carry[:1] + (carry[1] & (jnp.arange(R) < R0),)
                  + carry[2:])
 
     if not compactable:
+        cond, body = _chain_loop(scene, R, o.dtype, opts)
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[6][:R0], carry[7][:R0], carry[8]
 
-    carry = body(carry)                       # primary bounce, full width
-
-    # level 1: compact by opts.compact, run ONE iteration; level 2: compact
-    # the survivors again (activity collapses geometrically: measured 5% ->
-    # 0.4% live lanes on the flagship scene), then loop to completion.
-    # Each level leaves a (usually zero-trip) overflow loop at its parent
-    # width for live blocks beyond capacity.
-    carry2, merge1, over1 = _block_compact(scene, carry, opts.compact)
-    if _DIR_SORT:
-        # restore direction coherence for the megakernel's tile cull
-        carry2, unsort1 = _dir_sort_chain(carry2)
-    R2 = carry2[2].shape[0]
-    cond2, body2 = _chain_loop(scene, R2, o.dtype, opts)
-    carry2 = jax.lax.cond(cond2(carry2), body2, lambda c: c, carry2)
-
-    carry3, merge2, over2 = _block_compact(scene, carry2, opts.compact)
-    R3 = carry3[2].shape[0]
-    cond3, body3 = _chain_loop(scene, R3, o.dtype, opts)
-    carry3 = jax.lax.while_loop(cond3, body3, carry3)
-    carry2 = merge2(carry2, carry3)
-
-    # level-2 overflow: finish at level-1 width
-    carry2 = jax.lax.while_loop(cond2, body2,
-                                carry2[:1] + (over2,) + carry2[2:])
-    if _DIR_SORT:
-        carry2 = unsort1(carry2)
-    carry = merge1(carry, carry2)
-
-    # level-1 overflow: finish at full width
-    carry = jax.lax.while_loop(cond, body, carry[:1] + (over1,) + carry[2:])
+    carry = _run_adaptive(
+        carry, opts, lambda w: _chain_loop(scene, w, o.dtype, opts),
+        live_of=lambda c: c[1], chain_mode=True)
     return carry[6][:R0], carry[7][:R0], carry[8]
 
 
@@ -446,49 +547,6 @@ def _dir_sort_chain(carry):
                 d2[inv], n2, k2)
 
     return sorted_carry, unsort
-
-
-def _block_compact(scene, carry, divisor, blk=256):
-    """Gather the 256-lane blocks that still contain live rays into a
-    width/divisor buffer.  Returns (compact_carry, merge, overflow_mask):
-    ``merge(parent_carry, compact_carry)`` scatter-adds the compact loop's
-    colors back (block indices are unique, so no sort-based scatter) and
-    accumulates its ray count; ``overflow_mask`` marks live lanes in blocks
-    beyond capacity, to be finished at the parent width."""
-    (it, active, o1, v1, w1, frac1, color, depth, nrays, key1) = carry
-    R = o1.shape[0]
-    nb = R // blk
-    cap = nb // divisor
-    R2 = cap * blk
-    blk_live = active.reshape(nb, blk).any(1)
-    # stable partition of block ids: live blocks first, original order
-    # (preserves screen-blocked coherence for the megakernel tile cull)
-    _, order = jax.lax.sort_key_val(
-        (~blk_live).astype(jnp.int32), jnp.arange(nb, dtype=jnp.int32),
-        is_stable=True)
-    src_blk = order[:cap]
-    rank = jnp.zeros((nb,), jnp.int32).at[order].set(
-        jnp.arange(nb, dtype=jnp.int32), unique_indices=True)
-    taken = rank < cap                        # [nb]
-
-    def bgather(a):
-        return a.reshape((nb, blk) + a.shape[1:])[src_blk].reshape(
-            (R2,) + a.shape[1:])
-
-    carry2 = (it, bgather(active), bgather(o1), bgather(v1), bgather(w1),
-              bgather(frac1), jnp.zeros((R2, 3), o1.dtype),
-              jnp.zeros((R2,), o1.dtype), jnp.zeros((), nrays.dtype),
-              jax.random.fold_in(key1, 1))
-
-    def merge(parent, child):
-        color = parent[6].reshape(nb, blk, 3).at[src_blk].add(
-            child[6].reshape(cap, blk, 3),
-            unique_indices=True).reshape(R, 3)
-        return parent[:6] + (color, parent[7], parent[8] + child[8],
-                             parent[9])
-
-    over = active & ~jnp.repeat(taken, blk)
-    return carry2, merge, over
 
 
 def _stack_init(scene, o, v, key, opts):
@@ -610,13 +668,12 @@ def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions,
                        live0=None):
     """General scenes (reflection + refraction): per-ray bounce stack.
 
-    Same two-level block compaction as the chain loop: after the primary
-    iteration, only the 256-lane blocks whose stacks are non-empty are
-    gathered into an R/compact buffer (stack state travels with them --
-    the gathers move S x more bytes than chain mode, but the ~20 full-width
-    trace+shade iterations a refractive scene would otherwise pay dominate
-    by far), with a second compaction level and zero-trip overflow loops at
-    each parent width."""
+    Same adaptive compaction ladder as the chain loop (_run_adaptive):
+    256-lane blocks whose stacks are non-empty descend a geometric width
+    ladder as activity decays (stack state travels with them -- the
+    gathers move S x more bytes than chain mode, but the hundreds of
+    full-width trace+shade iterations a deep refraction tail would
+    otherwise pay dominate by far)."""
     R0 = o.shape[0]
     q = _compact_quantum(opts)
     compactable = opts.compact > 1 and R0 >= q
@@ -634,76 +691,16 @@ def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions,
         # dead lanes start with an empty stack: they trace nothing and
         # count nothing
         carry = carry[:1] + (jnp.where(dead, 0, carry[1]),) + carry[2:]
-    cond, body = _stack_loop(scene, R, o.dtype, opts)
 
     if not compactable:
+        cond, body = _stack_loop(scene, R, o.dtype, opts)
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[7][:R0], carry[8][:R0], carry[9]
 
-    carry = body(carry)                       # primary node, full width
-
-    carry2, merge1, over1 = _stack_block_compact(scene, carry, opts.compact)
-    R2 = carry2[1].shape[0]
-    cond2, body2 = _stack_loop(scene, R2, o.dtype, opts)
-    carry2 = jax.lax.cond(cond2(carry2), body2, lambda c: c, carry2)
-
-    carry3, merge2, over2 = _stack_block_compact(scene, carry2,
-                                                 opts.compact)
-    R3 = carry3[1].shape[0]
-    cond3, body3 = _stack_loop(scene, R3, o.dtype, opts)
-    carry3 = jax.lax.while_loop(cond3, body3, carry3)
-    carry2 = merge2(carry2, carry3)
-
-    # level-2 overflow: finish at level-1 width
-    carry2 = jax.lax.while_loop(cond2, body2,
-                                carry2[:1] + (over2,) + carry2[2:])
-    carry = merge1(carry, carry2)
-
-    # level-1 overflow: finish at full width
-    carry = jax.lax.while_loop(cond, body, carry[:1] + (over1,) + carry[2:])
+    carry = _run_adaptive(
+        carry, opts, lambda w: _stack_loop(scene, w, o.dtype, opts),
+        live_of=lambda c: c[1] > 0)
     return carry[7][:R0], carry[8][:R0], carry[9]
-
-
-def _stack_block_compact(scene, carry, divisor, blk=256):
-    """Stack-mode analog of _block_compact: gather 256-lane blocks with
-    non-empty stacks into a width/divisor buffer.  Returns
-    (compact_carry, merge, overflow_sp): ``overflow_sp`` is the parent's
-    stack-pointer vector with taken blocks zeroed, so the parent's
-    overflow loop finishes only the blocks beyond capacity."""
-    (it, sp, st_o, st_v, st_w, st_f, st_d, color, depth, nrays,
-     key1) = carry
-    R = sp.shape[0]
-    nb = R // blk
-    cap = nb // divisor
-    R2 = cap * blk
-    active = sp > 0
-    blk_live = active.reshape(nb, blk).any(1)
-    _, order = jax.lax.sort_key_val(
-        (~blk_live).astype(jnp.int32), jnp.arange(nb, dtype=jnp.int32),
-        is_stable=True)
-    src_blk = order[:cap]
-    rank = jnp.zeros((nb,), jnp.int32).at[order].set(
-        jnp.arange(nb, dtype=jnp.int32), unique_indices=True)
-    taken = rank < cap
-
-    def bgather(a):
-        return a.reshape((nb, blk) + a.shape[1:])[src_blk].reshape(
-            (R2,) + a.shape[1:])
-
-    carry2 = (it, bgather(sp), bgather(st_o), bgather(st_v), bgather(st_w),
-              bgather(st_f), bgather(st_d),
-              jnp.zeros((R2, 3), st_o.dtype), jnp.zeros((R2,), st_o.dtype),
-              jnp.zeros((), nrays.dtype), jax.random.fold_in(key1, 1))
-
-    def merge(parent, child):
-        color = parent[7].reshape(nb, blk, 3).at[src_blk].add(
-            child[7].reshape(cap, blk, 3),
-            unique_indices=True).reshape(R, 3)
-        return parent[:7] + (color, parent[8], parent[9] + child[9],
-                             parent[10])
-
-    over_sp = jnp.where(jnp.repeat(taken, blk), 0, sp)
-    return carry2, merge, over_sp
 
 
 # --------------------------------------------------------------------------

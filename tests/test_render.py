@@ -589,9 +589,9 @@ def test_hfacet_in_megakernel():
 
 
 def test_stack_compaction_matches_full_width():
-    """The stack-mode (refractive) bounce loop now has the same two-level
-    block compaction as chain mode (engine._render_rays_stack): identical
-    rays traced, colors, and depth vs the full-width loop."""
+    """The stack-mode (refractive) bounce loop has the same adaptive
+    block-compaction ladder as chain mode (engine._render_rays_stack):
+    identical rays traced, colors, and depth vs the full-width loop."""
     from ndt_tpu.render.engine import gen_rays, render_rays
     from ndt_tpu.render.pallas_trace import RT
 
@@ -881,3 +881,80 @@ def test_chain_compaction_pads_nondivisible_width():
     assert n0 > R                  # reflections actually happened
     np.testing.assert_array_equal(d0, d4)
     np.testing.assert_allclose(c0, c4, atol=1e-6)
+
+
+def test_adaptive_ladder_widths():
+    """engine._level_widths builds the geometric compaction ladder: each
+    width holds whole 256-lane blocks and at least one RT-ray kernel tile,
+    so every level's block gather and trace tiling stay aligned."""
+    from ndt_tpu.render.engine import _BLK, _level_widths
+    from ndt_tpu.render.pallas_trace import RT
+
+    q = RT * 16                    # the compaction quantum at compact=4
+    ws = _level_widths(5 * q, 4)   # the anim6d@480p batch: 327680 rays
+    assert ws[0] == 5 * q
+    for a, b in zip(ws, ws[1:]):
+        assert a == 4 * b
+        assert b % _BLK == 0 and b >= RT
+    assert len(ws) >= 3            # deep tails get a genuinely narrow loop
+    # a batch not divisible a level deeper stops the ladder early
+    assert _level_widths(RT * 4, 4) == [RT * 4, RT]
+
+
+def test_stack_ladder_sparse_live0_keeps_depth():
+    """A mostly-dead tail sub-batch (live0 from render_rays' lax.map
+    chunking) starts BELOW the first ladder cap, so the ladder descends
+    before the primary iteration has run -- the depth map written by the
+    child levels must survive the merges (depth travels with the gathered
+    lanes, engine._compact_descend).  Regression: the first ladder cut
+    treated the child depth buffer as scratch and returned an all-zero
+    depth map for such batches."""
+    from ndt_tpu.render.engine import (RenderOptions, _render_rays_stack,
+                                       gen_rays)
+    from ndt_tpu.render.pallas_trace import RT
+
+    scn = Scene("sparse_t", 4)
+    scn.ambient[:] = 0.2
+    lgt = scn.add_light()
+    lgt.pos = np.array([0.0, 50.0, 0.0, 0.0])
+    lgt.set_color(200, 200, 200)
+    floor = scn.add_object("hplane").set_color(.6, .6, .6) \
+        .set_reflect(.3, .3, .3)
+    floor.add_pos(np.array([0.0, -5.0, 0.0, 0.0]))
+    floor.add_dir(np.array([0.0, 1.0, 0.0, 0.0]))
+    glass = scn.add_object("sphere").set_color(.2, .2, .7)
+    glass.transparent = 1
+    glass.refract_index = 1.44
+    glass.add_pos(np.array([0.0, 2.0, -20.0, 0.0]))
+    glass.add_size(3.0)
+    scn.cam.set_aim(np.array([0.0, 5.0, 20.0, 0.0]), np.zeros(4),
+                    np.array([0.0, 10.0, 0.0, 0.0]), 0.0)
+    scn.cam.aim()
+
+    dt = np.float32
+    sd = compile_scene(scn, dt)
+    assert sd.has_transparent
+    cd = scn.cam.data(dt)
+    R = RT * 16                    # exactly the compaction quantum
+    w = h = int(np.sqrt(R))
+    xx, yy = _pixel_grid(w, h, np.dtype(dt))
+    x, y = jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel())
+    key = jax.random.PRNGKey(3)
+    nlive = 500                    # < R/4: the ladder descends immediately
+    live0 = jnp.arange(R) < nlive
+
+    outs = {}
+    for compact in (0, 4):
+        opts = RenderOptions(width=w, height=h, samples=1, tile=R,
+                             compact=compact, max_optic_depth=6)
+        o, v = gen_rays(cd, x, y, key, opts, "center", False, False)
+        c, d, n = jax.jit(_render_rays_stack, static_argnames="opts")(
+            sd, o, v, key, opts, live0=live0)
+        outs[compact] = (np.asarray(c), np.asarray(d), int(n))
+    c0, d0, n0 = outs[0]
+    c4, d4, n4 = outs[4]
+    assert n0 == n4
+    assert d0[:nlive].max() > 0    # the primary rays actually hit
+    # live lanes must agree exactly; dead lanes are sliced off by callers
+    np.testing.assert_array_equal(d0[:nlive], d4[:nlive])
+    np.testing.assert_allclose(c0[:nlive], c4[:nlive], atol=1e-6)
