@@ -230,17 +230,23 @@ def render_adaptive_samples(scene_data, cam_data, x, y, key,
         d = np.asarray(d)[:len(xs)]
         total_rays += int(n)
 
-        prev_mean = t_clr[active_idx] / np.maximum(
-            t_n[active_idx], 1)[:, None]
+        prev_sum = t_clr[active_idx].copy()
         t_clr[active_idx] += c
         t_n[active_idx] += 1
         if i == 0:
             depth0[active_idx] = d
-        new_mean = t_clr[active_idx] / t_n[active_idx][:, None]
-        # ndt.c:552-555 compares sum/(i-1) vs sum/i; with i samples taken,
-        # that's the old mean vs the new mean
-        diff = np.abs(prev_mean - new_mean).max(-1)
-        clr_diff[active_idx] = np.where(t_n[active_idx] >= 2, diff, 256.0)
+        m = t_n[active_idx]
+        # ndt.c:552-555 compares t_clr/(i-1) vs (t_clr+l_clr)/i at loop
+        # index i, but t_clr then holds i samples and the new sum i+1 --
+        # the C's denominators run one BELOW the true sample counts.  The
+        # quirk is load-bearing: with identical samples s the "diff" is
+        # s/((m-2)(m-1)), not 0, so even converged bright pixels keep
+        # sampling until (m-2)(m-1) >= 256*s (~17 samples at s=1).
+        # Replicate exactly; updates only from the 3rd sample (C: i > 1).
+        diff = np.abs(prev_sum / np.maximum(m - 2, 1)[:, None]
+                      - t_clr[active_idx] / np.maximum(m - 1, 1)[:, None]
+                      ).max(-1)
+        clr_diff[active_idx] = np.where(m >= 3, diff, 256.0)
 
         i += 1
         keep = (t_n[active_idx] < opts.samples) | (
