@@ -588,6 +588,14 @@ def _stack_loop(scene, R, dt, opts):
         ohx = oh[(...,) + (None,) * (st.ndim - 2)]
         return jnp.where(ohx, jnp.expand_dims(val, 1), st)
 
+    def push2(st, s1, v1, m1, s2, v2, m2):
+        # two pushes to disjoint slots in one read+write of the stack
+        x = (None,) * (st.ndim - 2)
+        oh1 = ((sidx == s1[:, None]) & m1[:, None])[(...,) + x]
+        oh2 = ((sidx == s2[:, None]) & m2[:, None])[(...,) + x]
+        return jnp.where(oh1, jnp.expand_dims(v1, 1),
+                         jnp.where(oh2, jnp.expand_dims(v2, 1), st))
+
     budget = _node_budget(opts, scene.has_transparent)
 
     def cond(carry):
@@ -643,26 +651,33 @@ def _stack_loop(scene, R, dt, opts):
         fits = sp1 < S
         ok_refl &= fits
         rdir = mathnd.unitize(mathnd.reflect(cv, tr.normal, 1.0))
-        st_o = push(st_o, sp1, tr.point, ok_refl)
-        st_v = push(st_v, sp1, rdir, ok_refl)
-        st_w = push(st_w, sp1, cw * refl, ok_refl)
-        st_f = push(st_f, sp1, cf * contrib, ok_refl)
-        st_d = push(st_d, sp1, cd - 1, ok_refl)
         sp2 = sp1 + ok_refl.astype(jnp.int32)
 
         if scene.has_transparent:
-            # refraction child (ndt.c:421-430)
+            # refraction child (ndt.c:421-430); both children land in ONE
+            # one-hot pass per stack array (slots are disjoint: sp2 > sp1
+            # whenever ok_refl holds), halving the stack read+write traffic
+            # of the two sequential pushes
             ior = tr.ior
             ok_refr = (hit & (transp > 0)
                        & ((1.0 - contrib) * cf >= MIN_PIXEL_FRAC)
                        & (cd - 1 > 0) & (sp2 < S))
             tdir = mathnd.unitize(mathnd.refract(cv, tr.normal, ior))
-            st_o = push(st_o, sp2, tr.point, ok_refr)
-            st_v = push(st_v, sp2, tdir, ok_refr)
-            st_w = push(st_w, sp2, cw * (1.0 - refl), ok_refr)
-            st_f = push(st_f, sp2, (1.0 - contrib) * cf, ok_refr)
-            st_d = push(st_d, sp2, cd - 1, ok_refr)
+            st_o = push2(st_o, sp1, tr.point, ok_refl,
+                         sp2, tr.point, ok_refr)
+            st_v = push2(st_v, sp1, rdir, ok_refl, sp2, tdir, ok_refr)
+            st_w = push2(st_w, sp1, cw * refl, ok_refl,
+                         sp2, cw * (1.0 - refl), ok_refr)
+            st_f = push2(st_f, sp1, cf * contrib, ok_refl,
+                         sp2, (1.0 - contrib) * cf, ok_refr)
+            st_d = push2(st_d, sp1, cd - 1, ok_refl, sp2, cd - 1, ok_refr)
             sp2 = sp2 + ok_refr.astype(jnp.int32)
+        else:
+            st_o = push(st_o, sp1, tr.point, ok_refl)
+            st_v = push(st_v, sp1, rdir, ok_refl)
+            st_w = push(st_w, sp1, cw * refl, ok_refl)
+            st_f = push(st_f, sp1, cf * contrib, ok_refl)
+            st_d = push(st_d, sp1, cd - 1, ok_refl)
 
         return (it + 1, sp2, st_o, st_v, st_w, st_f, st_d, color, depth,
                 nrays, key)
