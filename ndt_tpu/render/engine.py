@@ -169,7 +169,7 @@ def _level_widths(R: int, c: int) -> list:
     return widths
 
 
-def _compact_descend(carry, live_mask, divisor):
+def _compact_descend(carry, live_mask, divisor, scatter_back=()):
     """Gather every live lane (or 256-lane block) of ``carry`` into a
     width/divisor child carry.  The caller's loop condition guarantees the
     live count fits, so -- unlike the old fixed two-level scheme -- there
@@ -185,7 +185,12 @@ def _compact_descend(carry, live_mask, divisor):
     initial live set is sparse (a mostly-dead tail sub-batch via
     ``live0``) the ladder legitimately descends before the primary
     iteration has run, so the child's depth writes must survive the
-    merge."""
+    merge.
+
+    ``scatter_back``: carry indices of per-lane state that must ALSO
+    survive the merge (scatter-set like depth) -- e.g. the escalation
+    taint mask, which narrow levels keep setting and the caller reads at
+    the end."""
     it = carry[0]
     per_lane = carry[1:-4]
     color, depth, nrays, key = carry[-4:]
@@ -225,14 +230,17 @@ def _compact_descend(carry, live_mask, divisor):
     def merge(parent, kid):
         pcolor = parent[-4].at[src].add(kid[-4], unique_indices=True)
         pdepth = parent[-3].at[src].set(kid[-3], unique_indices=True)
-        return parent[:-4] + (pcolor, pdepth, parent[-2] + kid[-2],
+        head = list(parent[:-4])
+        for j in scatter_back:
+            head[j] = parent[j].at[src].set(kid[j], unique_indices=True)
+        return tuple(head) + (pcolor, pdepth, parent[-2] + kid[-2],
                               parent[-1])
 
     return child, merge
 
 
 def _run_adaptive(carry, opts: RenderOptions, loop_factory, live_of,
-                  chain_mode=False):
+                  chain_mode=False, scatter_back=()):
     """Adaptive multi-level bounce loop: at each width, iterate while the
     live 256-lane block count exceeds the next level's capacity, then
     gather ALL live blocks one level down and continue there.  The ladder
@@ -267,7 +275,8 @@ def _run_adaptive(carry, opts: RenderOptions, loop_factory, live_of,
         carry = jax.lax.while_loop(cond, body, carry)
         # descend: either every live block fits in the child width, or the
         # base condition is exhausted and the child loops are zero-trip
-        child, merge = _compact_descend(carry, live_of(carry), c)
+        child, merge = _compact_descend(carry, live_of(carry), c,
+                                        scatter_back=scatter_back)
         if chain_mode and k == 0 and _DIR_SORT:
             child, unsort = _dir_sort_chain(child)
             child = unsort(run(k + 1, child))

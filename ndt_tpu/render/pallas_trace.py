@@ -513,8 +513,15 @@ def _gid_fam(meta: PallasMeta, gid):
 N_FAMS = 5   # cull-count columns (sph, pln, quad, fct, hf)
 
 
-def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False):
-    """mode: 'closest' | 'any' | 'shadow'."""
+def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
+                 has_init: bool = False):
+    """mode: 'closest' | 'any' | 'shadow'.
+
+    ``has_init``: the winner state (t/mat[/normal/props]) of the PREVIOUS
+    scene chunk arrives as extra VMEM inputs and seeds the running winner,
+    so the front-to-back early exit of chunk k prunes against the best hit
+    of chunks 0..k-1 (the TPU analogue of threading ``*t_ptr`` through the
+    C's kd traversal, kd-tree.c:541-556) instead of starting from BIG."""
     early = _use_early_exit(meta, interpret)
     D = meta.dim
     A = meta.a_quad
@@ -525,7 +532,15 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False):
                qoff_ref, qslab_ref, qgt_ref, qgp_ref, fct_ref, hf_ref,
                mat_ref, rank_ref, bnd_ref, prop_ref,
                lists_ref, counts_ref, reach_ref, live_ref,
-               o_ref, v_ref, aux_ref, *out_refs):
+               o_ref, v_ref, aux_ref, *rest):
+        if has_init:
+            if mode == "closest":
+                ti_ref, mi_ref, ni_ref, pi_ref = rest[:4]
+                rest = rest[4:]
+            else:
+                ti_ref, mi_ref = rest[:2]
+                rest = rest[2:]
+        out_refs = rest
         o = [o_ref[d] for d in range(D)]       # each (RT//LANE, LANE)
         v = [v_ref[d] for d in range(D)]
         shape = o[0].shape
@@ -579,10 +594,16 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False):
 
         if mode in ("closest", "any"):
             excl = aux_ref[0]                  # excluded MATERIAL id tile
-            t1 = jnp.full(shape, BIG, jnp.float32)
-            m1 = jnp.full(shape, -1, jnp.int32)
-            if want_normal:
-                n1 = [jnp.zeros(shape, jnp.float32) for _ in range(D)]
+            if has_init:
+                t1 = ti_ref[0]
+                m1 = mi_ref[0]
+                if want_normal:
+                    n1 = [ni_ref[d] for d in range(D)]
+            else:
+                t1 = jnp.full(shape, BIG, jnp.float32)
+                m1 = jnp.full(shape, -1, jnp.int32)
+                if want_normal:
+                    n1 = [jnp.zeros(shape, jnp.float32) for _ in range(D)]
             state = {}
 
             def visit(count, gid0, ev, row, sz):
@@ -684,8 +705,12 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False):
                 # resolved over the tile's SURVIVING candidates only --
                 # the winner is always on the cull list, so dead/culled
                 # materials never need a pass
-                pstate = {"p": tuple(jnp.zeros(shape, jnp.float32)
-                                     for _ in range(N_PROPS))}
+                if has_init:
+                    pstate = {"p": tuple(pi_ref[j]
+                                         for j in range(N_PROPS))}
+                else:
+                    pstate = {"p": tuple(jnp.zeros(shape, jnp.float32)
+                                         for _ in range(N_PROPS))}
 
                 def vprop(count, gid0, ev, row, sz):
                     def body(k, props):
@@ -713,8 +738,13 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False):
 
             # pass 2: min over finite objects + infinite objects with
             # rank <= first_rank
-            st = {"t1": jnp.full(shape, BIG, jnp.float32),
-                  "m1": jnp.full(shape, -1, jnp.int32)}
+            if has_init:
+                # chunk 0 carries every infinite leaf, so threaded chunks
+                # k>0 are finite-only and seed from chunk k-1's winner
+                st = {"t1": ti_ref[0], "m1": mi_ref[0]}
+            else:
+                st = {"t1": jnp.full(shape, BIG, jnp.float32),
+                      "m1": jnp.full(shape, -1, jnp.int32)}
 
             # a winner farther than limit + margin can never pass the
             # downstream same-point-within-EPSILON test (ndt.c:217-228), so
@@ -776,7 +806,7 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False):
 
 
 def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
-                       carry: bool = False):
+                       carry: bool = False, escalate: bool = False):
     """The fused shading kernel: given the closest-hit pass's winner
     (t / mat / normal / material props) it reruns apply_lights
     (ndt.c:71-326) entirely in-registers -- each light's shadow trace over
@@ -998,16 +1028,26 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
         for j in range(3):
             w2_ref[j] = jnp.where(nxt, w_ref[j] * wr[j], w_ref[j])
         f2_ref[0] = jnp.where(nxt, f_ref[0] * contrib, f_ref[0])
-        nx_ref[0] = jnp.where(nxt, 1.0, 0.0)
+        if escalate:
+            # stack-mode escalation (engine._chain_loop): a live lane whose
+            # winner is TRANSPARENT freezes (its chain accumulation is
+            # discarded; the engine re-runs it from its primary ray in
+            # stack mode, ndt.c:421-430).  Signalled as nx = -1.
+            taint = hit & (wt > 0.0)
+            nx_ref[0] = jnp.where(taint, -1.0,
+                                  jnp.where(nxt & ~taint, 1.0, 0.0))
+        else:
+            nx_ref[0] = jnp.where(nxt, 1.0, 0.0)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "fused", "fused_spec",
-                                             "interpret"))
+                                             "interpret", "escalate"))
 def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
                  meta: PallasMeta, fused: tuple, fused_spec: bool = True,
-                 interpret: bool = False, carry=None, area=()):
+                 interpret: bool = False, carry=None, area=(),
+                 escalate: bool = False):
     """Fused apply_lights over the closest-hit pass's outputs.
 
     o, v: [R, D] f32 (R a multiple of RT); t [R]; mat [R] i32; nrm [R, D];
@@ -1076,7 +1116,7 @@ def pallas_shade(params, o, v, t, mat, nrm, props, lvec, culls,
         out_shape = [sdD, sdD, sd3, sd1, sd3, sd1]
 
     kernel = _make_shade_kernel(meta, fused, fused_spec,
-                                carry=carry is not None)
+                                carry=carry is not None, escalate=escalate)
     out = pl.pallas_call(
         kernel,
         grid=(R // RT,),
@@ -1431,13 +1471,16 @@ def _to_tiles(a, R):
 @functools.partial(jax.jit,
                    static_argnames=("meta", "mode", "interpret"))
 def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
-                 interpret: bool = False, live=None):
+                 interpret: bool = False, live=None, init=None):
     """Winner over the sphere/plane/quadric blocks.
 
     o, v: [R, D] f32, R a multiple of RT.  aux: per-ray int32 excluded
     MATERIAL id ('closest'/'any') or f32 distance limit ('shadow').
     live: optional [R] bool -- lanes whose result the caller will discard
     are False; dead lanes return garbage but fully-dead tiles are skipped.
+    init: optional previous-chunk winner state seeding the running winner
+    (closest: (t, mat, nrm [R, D], props [R, N_PROPS]); any/shadow:
+    (t, mat)) -- see _make_kernel's has_init.
     Returns (t [R], mat [R] i32, normal [R, D] | None, props [R, 8] | None).
     """
     R, D = o.shape
@@ -1446,7 +1489,7 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
     v_t = _to_tiles(v, R)
     aux_t = aux.reshape(1, R // LANE, LANE)
 
-    kernel = _make_kernel(meta, mode, interpret)
+    kernel = _make_kernel(meta, mode, interpret, has_init=init is not None)
     grid = (R // RT,)
     rows = RT // LANE
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1501,15 +1544,26 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
                             memory_space=pltpu.SMEM)
     reach_spec = pl.BlockSpec((1, 1, n_total), lambda i: (i, 0, 0),
                               memory_space=pltpu.SMEM)
+    init_in, init_spec = [], []
+    if init is not None:
+        ti, mi = init[0], init[1]
+        init_in = [ti.reshape(1, R // LANE, LANE),
+                   mi.astype(jnp.int32).reshape(1, R // LANE, LANE)]
+        init_spec = [out1_spec, out1_spec]
+        if mode == "closest":
+            init_in += [_to_tiles(init[2], R),
+                        init[3].T.reshape(N_PROPS, R // LANE, LANE)]
+            init_spec += [ray_spec, props_spec]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem()] * 16 + [list_spec, cnt_spec, reach_spec,
-                                  aux_spec, ray_spec, ray_spec, aux_spec],
+        in_specs=([smem()] * 16 + [list_spec, cnt_spec, reach_spec,
+                                   aux_spec, ray_spec, ray_spec, aux_spec]
+                  + init_spec),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*params, lists, counts, reach, live_t, o_t, v_t, aux_t)
+    )(*params, lists, counts, reach, live_t, o_t, v_t, aux_t, *init_in)
 
     t = outs[0].reshape(R)
     mat = outs[1].reshape(R)

@@ -213,7 +213,7 @@ def _shadow_culls(kinds, lvec, tables, meta, o_p, v_p, t, live_p,
 
 
 def trace_fused_step(scene: SceneData, o, v, w, frac, color, live=None,
-                     specular=True, key=None):
+                     specular=True, key=None, escalate=False):
     """One whole chain-mode bounce iteration in two kernel launches: the
     closest-hit megakernel, then the shade kernel in CARRY mode, which --
     beyond the fused apply_lights -- also folds in the engine's bounce-loop
@@ -225,7 +225,10 @@ def trace_fused_step(scene: SceneData, o, v, w, frac, color, live=None,
 
     Returns (t, o', v', w', frac', color', nxt) -- ``nxt`` excludes the
     max-depth condition (the caller ANDs it; a stale carry behind a false
-    ``nxt`` is never read)."""
+    ``nxt`` is never read).  With ``escalate`` (stack-mode escalation,
+    engine._chain_loop) the return gains a trailing ``taint`` [R] bool:
+    lanes whose winner is TRANSPARENT, frozen for a stack-mode re-run
+    (their nxt is False)."""
     from ndt_tpu.render.pallas_trace import RT, pallas_shade, pallas_trace
 
     mode = _pallas_mode(scene, o)
@@ -255,9 +258,11 @@ def trace_fused_step(scene: SceneData, o, v, w, frac, color, live=None,
         tables, o_p, v_p, t, mat, nrm, props, lvec, culls, meta, kinds,
         fused_spec=specular, interpret=interpret,
         carry=(w, frac, color, live_in),
-        area=tuple(area[fi] for fi in sorted(area)))
-    return (t[:R], o2[:R], v2[:R], w2[:R], f2[:R], c2[:R],
-            nxt[:R] > 0.5)
+        area=tuple(area[fi] for fi in sorted(area)), escalate=escalate)
+    out = (t[:R], o2[:R], v2[:R], w2[:R], f2[:R], c2[:R], nxt[:R] > 0.5)
+    if escalate:
+        out += (nxt[:R] < -0.5,)
+    return out
 
 
 def trace_fused(scene: SceneData, o, v, live=None, specular=True,
@@ -328,23 +333,24 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
                 [aux, jnp.full((o_p.shape[0] - R,), -1, jnp.int32)])
     live_p = _pad_live(live, o_p.shape[0], R)
     kmode = "closest" if need_normal else "any"
-    # large scenes are packed as several SMEM-sized chunks; min-merge the
-    # per-chunk winners (see compile._pack_chunked)
+    # large scenes are packed as several SMEM-sized chunks; each chunk's
+    # kernel SEEDS its running winner from the previous chunk's (init=),
+    # so the in-kernel front-to-back early exit prunes across chunk
+    # boundaries instead of each chunk re-scanning from BIG (the TPU
+    # analogue of the C threading *t_ptr through kd traversal,
+    # kd-tree.c:541-556); see compile._pack_chunked for the spatial
+    # chunk partition that makes the per-tile chunk culls fire
     t = mat = nrm = props = None
     for meta_c, tables_c in zip(scene.pmeta, scene.ptables):
-        t_c, mat_c, nrm_c, props_c = pallas_trace(
-            tables_c, o_p, v_p, aux, meta_c, kmode,
-            interpret=(mode == "interpret"), live=live_p)
         if t is None:
-            t, mat, nrm, props = t_c, mat_c, nrm_c, props_c
+            init = None
+        elif kmode == "closest":
+            init = (t, mat, nrm, props)
         else:
-            b = t_c < t
-            t = jnp.where(b, t_c, t)
-            mat = jnp.where(b, mat_c, mat)
-            if nrm is not None:
-                nrm = jnp.where(b[:, None], nrm_c, nrm)
-            if props is not None:
-                props = jnp.where(b[:, None], props_c, props)
+            init = (t, mat)
+        t, mat, nrm, props = pallas_trace(
+            tables_c, o_p, v_p, aux, meta_c, kmode,
+            interpret=(mode == "interpret"), live=live_p, init=init)
     t, mat = t[:R], mat[:R]
     nrm = nrm[:R] if nrm is not None else None
     if props is not None:
@@ -374,19 +380,15 @@ def _pallas_shadow(scene, o, v, limit, mode, live=None):
             [aux, jnp.zeros((o_p.shape[0] - R,), jnp.float32)])
     live_p = _pad_live(live, o_p.shape[0], R)
     # chunk 0 carries every infinite leaf (compile._pack_chunked), so its
-    # shadow-mode rank truncation is complete; finite-only chunks merge as
-    # plain closest hits
+    # shadow-mode rank truncation is complete; finite-only chunks k>0 seed
+    # their running winner from chunk k-1's (init=) and merge as plain
+    # closest hits with cross-chunk early-exit pruning
     t = mat = None
     for meta_c, tables_c in zip(scene.pmeta, scene.ptables):
-        t_c, mat_c, _, _ = pallas_trace(
+        t, mat, _, _ = pallas_trace(
             tables_c, o_p, v_p, aux, meta_c, "shadow",
-            interpret=(mode == "interpret"), live=live_p)
-        if t is None:
-            t, mat = t_c, mat_c
-        else:
-            b = t_c < t
-            t = jnp.where(b, t_c, t)
-            mat = jnp.where(b, mat_c, mat)
+            interpret=(mode == "interpret"), live=live_p,
+            init=None if t is None else (t, mat))
     t, mat = t[:R], mat[:R]
     hit = t < BIG * 0.5
     mat = jnp.where(hit, mat, -1)

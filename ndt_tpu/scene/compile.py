@@ -726,6 +726,25 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
 _SMEM_BUDGET = 480 * 1024   # bytes of per-object SMEM tables per kernel call
 
 
+def _spatial_order(centers: np.ndarray) -> np.ndarray:
+    """Index permutation of ``centers`` [n, D] by recursive median split
+    along the widest axis: contiguous spans of the result are spatially
+    compact blobs, so greedy budget packing yields localized chunks."""
+    def rec(idx):
+        if len(idx) <= 8:
+            return idx
+        c = centers[idx]
+        spans = c.max(0) - c.min(0)
+        d = int(np.argmax(spans))
+        if spans[d] <= 0:
+            return idx
+        part = np.argsort(c[:, d], kind="stable")
+        m = len(idx) // 2
+        return np.concatenate([rec(idx[part[:m]]), rec(idx[part[m:]])])
+
+    return rec(np.arange(len(centers)))
+
+
 def _pack_chunked(sd: "SceneData"):
     """Pack the megakernel SMEM tables, splitting large scenes into
     SMEM-sized sub-scene chunks (the kernel runs once per chunk and the
@@ -761,51 +780,61 @@ def _pack_chunked(sd: "SceneData"):
         meta, tables = pack_params(sd)
         return (meta,), (tables,)
 
-    # greedy chunking: infinite rows of every family first, then finite
-    chunks: List[dict] = []
-    cur: dict = {}
-    cur_cost = 0
-
-    def flush():
-        nonlocal cur, cur_cost
-        if cur:
-            chunks.append(cur)
-        cur, cur_cost = {}, 0
-
+    # chunking in SPATIAL order: infinite rows of every family land in
+    # chunk 0; each family's finite rows are ordered by a recursive median
+    # split of their bounding centers (restricted to that family, the
+    # global spatial order stays spatially sorted) and sliced into k
+    # near-equal contiguous groups, so each chunk holds one compact blob
+    # per family -- per-tile interval culls then reject entire far-away
+    # chunks (count 0 -> the kernel's family loops zero-trip) and the
+    # cross-chunk winner threading (trace._pallas_closest init=) lets the
+    # in-kernel early exit prune chunks behind an already-found hit.  The C
+    # gets the same effect from kd locality (kd-tree.c:294-419).  k is the
+    # smallest chunk count whose PADDED per-chunk cost (every chunk carries
+    # ceil(n_f/k) rows of family f so chunks share kernel specializations)
+    # plus chunk 0's infinite rows fits the SMEM budget.
     fams = [f for f in ("spheres", "planes", "quadrics", "facets",
                         "hfacets")
             if getattr(sd, f) is not None]
+    inf_rows: dict = {}
+    inf_cost = 0
     for fam in fams:
         ranks = np.asarray(getattr(sd, fam).shadow_rank)
         inf_idx = np.nonzero(ranks < NOT_INFINITE)[0]
         if len(inf_idx):
-            cur.setdefault(fam, []).append(inf_idx)
-            cur_cost += cost[fam] * len(inf_idx)
-    if cur_cost > budget:
+            inf_rows[fam] = inf_idx.astype(np.int64)
+            inf_cost += cost[fam] * len(inf_idx)
+    if inf_cost > budget:
         raise ValueError("too many infinite objects for one kernel chunk")
-    for fam in fams:
-        ranks = np.asarray(getattr(sd, fam).shadow_rank)
-        idx = np.nonzero(ranks >= NOT_INFINITE)[0]
-        i = 0
-        while i < len(idx):
-            room = (budget - cur_cost) // cost[fam]
-            if room <= 0:
-                flush()
-                continue
-            take = idx[i:i + room]
-            cur.setdefault(fam, []).append(take)
-            cur_cost += cost[fam] * len(take)
-            i += len(take)
-    flush()
 
+    fin_rows: dict = {}
+    for fam in fams:
+        blk = getattr(sd, fam)
+        idx = np.nonzero(np.asarray(blk.shadow_rank) >= NOT_INFINITE)[0]
+        order = _spatial_order(np.asarray(blk.b_center, np.float64)[idx])
+        fin_rows[fam] = idx[order].astype(np.int64)
+
+    n_chunks = 1
+    while True:
+        n_chunks += 1
+        padded = sum(cost[f] * -(-len(fin_rows[f]) // n_chunks)
+                     for f in fams)
+        if padded + inf_cost <= budget:
+            break
+        if n_chunks > sum(len(i) for i in fin_rows.values()):
+            raise ValueError("SMEM budget too small for one object row")
+
+    idxs = {fam: [np.concatenate([inf_rows[fam], s])
+                  if ci == 0 and fam in inf_rows else s
+                  for ci, s in enumerate(
+                      np.array_split(fin_rows[fam], n_chunks))]
+            for fam in fams}
     # pad every chunk to the same per-family row counts so chunks share
     # kernel specializations (PallasMeta carries static inf_gids, which
     # differ between chunk 0 -- holder of all infinite leaves -- and
     # finite-only chunks, so scenes with infinite objects compile up to two
     # Mosaic kernels per mode rather than one per chunk); dummy rows sit at
     # +BIG with tiny bounds and can never win a trace
-    idxs = {fam: [np.concatenate(ch.get(fam, [[]])).astype(np.int64)
-                  for ch in chunks] for fam in fams}
     pad_to = {fam: max(len(i) for i in idxs[fam]) for fam in fams}
 
     def pad_block(blk, idx, n_pad):
@@ -829,7 +858,7 @@ def _pack_chunked(sd: "SceneData"):
         return type(blk)(**sub)
 
     metas, tables = [], []
-    for ci in range(len(chunks)):
+    for ci in range(n_chunks):
         sub = sd.replace(
             spheres=(pad_block(sd.spheres, idxs["spheres"][ci],
                                pad_to["spheres"])
