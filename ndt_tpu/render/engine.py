@@ -302,13 +302,21 @@ def _pad_dead(o, v, quantum):
     return o, v, R0
 
 
-def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
-    """Trace a batch of primary rays to completion IN ONE XLA PROGRAM
-    (used inside outer jits: sharding dry-runs, tests).  The host path
-    (render_tile) uses render_rays_chunked instead: very deep bounce loops
-    in a single device program can outrun execution watchdogs."""
-    if not scene.has_transparent:
-        return _render_rays_chain(scene, o, v, key, opts)
+# stack-mode escalation (VERDICT r2 item 3): scenes WITH transparent
+# objects first run the cheap chain loop; lanes that actually hit glass
+# taint and re-run from their primary ray in stack mode (typically a small
+# minority -- scenes pay for the per-ray pending-node stack only where
+# glass is hit; ref: the refraction recursion being flattened,
+# ndt.c:421-430).  NDT_STACK_ESCALATE=0 restores all-stack for A/B.
+_ESCALATE = os.environ.get("NDT_STACK_ESCALATE", "1") != "0"
+
+
+def _stack_subbatches(scene: SceneData, o, v, key, opts: RenderOptions,
+                      live0=None):
+    """Stack-mode render with the HBM sub-batch cap: batches above
+    _STACK_TILE run as a lax.map over sub-batches (still one XLA program,
+    memory bounded).  ``live0``: lanes to actually trace (the escalation
+    taint set); dead lanes return zeros."""
     R0 = o.shape[0]
     # sub-batch width: the HBM cap, rounded up so each sub-batch satisfies
     # the compaction quantum (caps below the quantum stay as-is -- those
@@ -318,11 +326,15 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
     if opts.compact > 1 and tile >= q:
         tile += (-tile) % q
     if R0 <= tile:
-        return _render_rays_stack(scene, o, v, key, opts)
+        return _render_rays_stack(scene, o, v, key, opts, live0=live0)
     o, v, _ = _pad_dead(o, v, tile)
     R = o.shape[0]
     n_sub = R // tile
-    live = (jnp.arange(R) < R0).reshape(n_sub, tile)
+    live = jnp.arange(R) < R0
+    if live0 is not None:
+        live = live & jnp.concatenate(
+            [live0, jnp.zeros((R - R0,), bool)])
+    live = live.reshape(n_sub, tile)
 
     def one(args):
         i, oc, vc, lv = args
@@ -337,17 +349,41 @@ def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
     return c.reshape(R, 3)[:R0], d.reshape(R)[:R0], n.sum()
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
-def _chunk_step(scene, carry, opts: RenderOptions):
-    """Run up to opts.chunk_iters bounce iterations; returns (carry, done)."""
+def render_rays(scene: SceneData, o, v, key, opts: RenderOptions):
+    """Trace a batch of primary rays to completion IN ONE XLA PROGRAM
+    (used inside outer jits: sharding dry-runs, tests).  The host path
+    (render_tile) uses render_rays_chunked instead: very deep bounce loops
+    in a single device program can outrun execution watchdogs."""
     if not scene.has_transparent:
+        return _render_rays_chain(scene, o, v, key, opts)
+    if _ESCALATE:
+        # phase A: chain loop with taint; phase B: stack re-run of exactly
+        # the tainted lanes (live0 sparsity makes the compaction ladder
+        # descend immediately to the width that holds them).  Bit-identical
+        # to all-stack except area-light sample keys (the node visit order
+        # per lane is the same).
+        color, depth, nrays, taint = _render_rays_chain(
+            scene, o, v, key, opts, escalate=True)
+        cb, _db, nb = _stack_subbatches(scene, o, v, key, opts,
+                                        live0=taint)
+        color = jnp.where(taint[:, None], cb, color)
+        return color, depth, (nrays + nb).astype(nrays.dtype)
+    return _stack_subbatches(scene, o, v, key, opts)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "mode"))
+def _chunk_step(scene, carry, opts: RenderOptions, mode: str):
+    """Run up to opts.chunk_iters bounce iterations; returns (carry, done).
+    mode: 'chain' | 'chain_esc' (escalation phase A) | 'stack'."""
+    if mode == "chain":
         cond0, body = _chain_loop(scene, carry[2].shape[0],
                                   carry[2].dtype, opts)
-        active_of = lambda c: c[1].any()
+    elif mode == "chain_esc":
+        cond0, body = _chain_loop(scene, carry[3].shape[0],
+                                  carry[3].dtype, opts, escalate=True)
     else:
         cond0, body = _stack_loop(scene, carry[2].shape[0],
                                   carry[2].dtype, opts)
-        active_of = lambda c: (c[1] > 0).any()
     it0 = carry[0]
 
     def cond(c):
@@ -357,34 +393,66 @@ def _chunk_step(scene, carry, opts: RenderOptions):
     return carry, ~cond0(carry)
 
 
+def _run_chunked(scene, carry, opts, mode, budget):
+    while True:
+        carry, done = _chunk_step(scene, carry, opts, mode)
+        if bool(done) or int(carry[0]) >= budget:
+            break
+    return carry
+
+
 def render_rays_chunked(scene, o, v, key, opts: RenderOptions):
     """Host-driven bounce loop: dispatches opts.chunk_iters iterations per
     device program and transfers one 'done' scalar per chunk, so no single
     execution runs unboundedly long."""
     if not scene.has_transparent:
-        carry = _chain_init(scene, o, v, key, opts)
-        budget = opts.max_optic_depth
-    else:
-        carry = _stack_init(scene, o, v, key, opts)
-        budget = _node_budget(opts, True)
-    while True:
-        carry, done = _chunk_step(scene, carry, opts)
-        if bool(done) or int(carry[0]) >= budget:
-            break
+        carry = _run_chunked(scene, _chain_init(scene, o, v, key, opts),
+                             opts, "chain", opts.max_optic_depth)
+        return carry[-4], carry[-3], carry[-2]
+    if _ESCALATE:
+        # escalation (see render_rays): chain phase A at full width, then
+        # -- the host path's luxury -- a DYNAMIC gather of exactly the
+        # tainted lanes into a compact stack-mode batch (no dead-lane
+        # padding beyond the kernel tile quantum)
+        carry = _run_chunked(
+            scene, _chain_init(scene, o, v, key, opts, escalate=True),
+            opts, "chain_esc", opts.max_optic_depth)
+        color, depth, nrays = (np.asarray(carry[-4]).copy(),
+                               carry[-3], carry[-2])
+        ti = np.nonzero(np.asarray(carry[2]))[0]
+        if ti.size:
+            oe = jnp.asarray(np.asarray(o)[ti])
+            ve = jnp.asarray(np.asarray(v)[ti])
+            cb = _run_chunked(scene, _stack_init(scene, oe, ve, key, opts),
+                              opts, "stack", _node_budget(opts, True))
+            color[ti] = np.asarray(cb[-4])
+            nrays = nrays + cb[-2]
+        return jnp.asarray(color), depth, nrays
+    carry = _run_chunked(scene, _stack_init(scene, o, v, key, opts),
+                         opts, "stack", _node_budget(opts, True))
     return carry[-4], carry[-3], carry[-2]
 
 
-def _chain_init(scene, o, v, key, opts):
+def _chain_init(scene, o, v, key, opts, escalate=False):
     R, D = o.shape
     dt = o.dtype
-    return (jnp.int32(0), jnp.ones((R,), bool), o, v,
+    taint = (jnp.zeros((R,), bool),) if escalate else ()
+    return (jnp.int32(0), jnp.ones((R,), bool)) + taint + (o, v,
             jnp.ones((R, 3), dt), jnp.ones((R,), dt),
             jnp.zeros((R, 3), dt), jnp.zeros((R,), dt),
             jnp.zeros((), jnp.int32), key)
 
 
-def _chain_loop(scene, R, dt, opts):
-    """(cond, body) for the chain-mode bounce loop."""
+def _chain_loop(scene, R, dt, opts, escalate=False):
+    """(cond, body) for the chain-mode bounce loop.
+
+    ``escalate`` (stack-mode escalation, VERDICT r2 item 3): the loop runs
+    on a scene WITH transparent objects; a live lane whose winner is
+    transparent sets its sticky ``taint`` flag (carry slot 2) and freezes
+    -- its partial chain accumulation is discarded by the caller, which
+    re-runs exactly the tainted lanes from their primary rays in stack
+    mode (the lanes that never touch glass, typically almost all, pay the
+    cheap chain loop only; ref: the refraction recursion ndt.c:421-430)."""
     max_depth = opts.max_optic_depth
     n_shadow_lights = sum(1 for l in scene.lights if l.kind != 0)
 
@@ -393,7 +461,12 @@ def _chain_loop(scene, R, dt, opts):
         return (it < max_depth) & active.any()
 
     def body(carry):
-        (it, active, o, v, w, frac, color, depth, nrays, key) = carry
+        if escalate:
+            (it, active, taint, o, v, w, frac, color, depth, nrays,
+             key) = carry
+        else:
+            (it, active, o, v, w, frac, color, depth, nrays, key) = carry
+            taint = None
         # dead lanes re-trace their stale (spatially coherent) ray; the
         # megakernel skips fully-dead tiles via the live mask and bounds
         # live tiles' culls over surviving lanes only
@@ -407,9 +480,10 @@ def _chain_loop(scene, R, dt, opts):
             # launches; only the depth map, ray accounting and the
             # max-depth gate stay in XLA (they involve loop scalars)
             key, skey = jax.random.split(key)
-            t, o2, v2, w2, f2, c2, nxt = trace_fused_step(
+            out = trace_fused_step(
                 scene, o, v, w, frac, color, live=active,
-                specular=opts.specular, key=skey)
+                specular=opts.specular, key=skey, escalate=escalate)
+            t, o2, v2, w2, f2, c2, nxt = out[:7]
             hit_raw = t < BIG * 0.5
             hit = hit_raw & active
             nrays = (nrays + active.sum()
@@ -417,6 +491,10 @@ def _chain_loop(scene, R, dt, opts):
             prim_depth = jnp.where(hit_raw & (t > EPSILON), 1.0 / t, 0.0)
             depth = jnp.where(it == 0, prim_depth.astype(dt), depth)
             nxt = nxt & (it + 2 <= max_depth)
+            if escalate:
+                taint = taint | (out[7] & active)
+                return (it + 1, nxt, taint, o2, v2, w2, f2, c2, depth,
+                        nrays, key)
             return (it + 1, nxt, o2, v2, w2, f2, c2, depth, nrays, key)
 
         key, skey = jax.random.split(key)
@@ -445,17 +523,25 @@ def _chain_loop(scene, R, dt, opts):
         refl_any = (refl != 0).any(axis=-1)
         nxt = (hit & (contrib > 0) & refl_any
                & (frac * contrib >= MIN_PIXEL_FRAC) & (it + 2 <= max_depth))
+        if escalate:
+            taint_new = hit & (tr.transparent > 0)
+            taint = taint | taint_new
+            nxt = nxt & ~taint_new
         v_new = mathnd.unitize(mathnd.reflect(v, tr.normal, 1.0))
         o = jnp.where(nxt[:, None], tr.point, o)
         v = jnp.where(nxt[:, None], v_new, v)
         w = jnp.where(nxt[:, None], w * refl, w)
         frac = jnp.where(nxt, frac * contrib, frac)
+        if escalate:
+            return (it + 1, nxt, taint, o, v, w, frac, color, depth,
+                    nrays, key)
         return (it + 1, nxt, o, v, w, frac, color, depth, nrays, key)
 
     return cond, body
 
 
-def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
+def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions,
+                       escalate: bool = False):
     """Reflection-only scenes: each ray is a single chain, so the bounce
     loop carries the continuation ray directly -- no per-ray stack, no
     gather/scatter traffic.
@@ -468,8 +554,13 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
     movement contiguous -- a big per-lane scatter lowers to an XLA sort
     that costs more than it saves -- and the stable block order preserves
     screen-blocked coherence for the megakernel's per-tile cull.  No ray
-    is ever dropped: a level only descends when every live block fits."""
+    is ever dropped: a level only descends when every live block fits.
+
+    With ``escalate`` (see _chain_loop) the return gains a trailing taint
+    mask [R0]: lanes frozen at a transparent hit for a stack-mode re-run
+    (their returned color is the discarded partial chain accumulation)."""
     R0 = o.shape[0]
+    esc = 1 if escalate else 0
     q = _compact_quantum(opts)
     compactable = opts.compact > 1 and R0 >= q
     if compactable and R0 % q != 0:
@@ -477,20 +568,26 @@ def _render_rays_chain(scene: SceneData, o, v, key, opts: RenderOptions):
         # frame) pad with dead lanes rather than losing compaction
         o, v, _ = _pad_dead(o, v, q)
     R = o.shape[0]
-    carry = _chain_init(scene, o, v, key, opts)
+    carry = _chain_init(scene, o, v, key, opts, escalate=escalate)
     if R != R0:
         carry = (carry[:1] + (carry[1] & (jnp.arange(R) < R0),)
                  + carry[2:])
 
     if not compactable:
-        cond, body = _chain_loop(scene, R, o.dtype, opts)
+        cond, body = _chain_loop(scene, R, o.dtype, opts,
+                                 escalate=escalate)
         carry = jax.lax.while_loop(cond, body, carry)
-        return carry[6][:R0], carry[7][:R0], carry[8]
-
-    carry = _run_adaptive(
-        carry, opts, lambda w: _chain_loop(scene, w, o.dtype, opts),
-        live_of=lambda c: c[1], chain_mode=True)
-    return carry[6][:R0], carry[7][:R0], carry[8]
+    else:
+        carry = _run_adaptive(
+            carry, opts,
+            lambda w: _chain_loop(scene, w, o.dtype, opts,
+                                  escalate=escalate),
+            live_of=lambda c: c[1], chain_mode=not escalate,
+            scatter_back=(2,) if escalate else ())
+    out = (carry[6 + esc][:R0], carry[7 + esc][:R0], carry[8 + esc])
+    if escalate:
+        out += (carry[2][:R0],)
+    return out
 
 
 def _dir_sort_perm(o, v, active, blk=256):
