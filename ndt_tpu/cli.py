@@ -173,8 +173,8 @@ def main(argv=None):
     if total is None:
         total = total_frames or max(last + 1, 1)
 
-    dist_mode = (args.dist_mode or "").strip()[:1].lower() if args.dist_mode \
-        else ""
+    dist_char = (args.dist_mode or "").strip()[:1] if args.dist_mode else ""
+    dist_mode = dist_char.lower()
     # --num-processes/--process-id imply multi-host: silently ignoring them
     # would have every rank render (and write) the whole job as process 0
     multihost = (args.multihost or args.coordinator
@@ -205,33 +205,41 @@ def main(argv=None):
         aa_diff=aa_diff, aa_depth=aa_depth,
         seed=0, devices=mesh)
 
-    # "f" covers both reference modes -b f (FRAME: rank 0 coordinates) and
-    # -b F (FRAME2: every rank renders, ndt.c:55-56) -- dist_mode is
-    # lowercased above, and on TPU there is no dedicated coordinator to
-    # exclude, so every device renders (FRAME2 semantics) either way.
+    # -b f = FRAME (process 0 builds every scene and broadcasts it,
+    # workers render, ndt.c:1831-1998) vs -b F = FRAME2 (every process
+    # replays scene_setup deterministically and renders its stride,
+    # ndt.c:55-56).  Single-process runs collapse both to the
+    # multi-device round-robin.
     if dist_mode == "f":
-        # MPI FRAME-mode analogue: whole frames round-robin across devices
-        from ndt_tpu.render.animate import render_animation_multidevice
-
         total_frames2 = total
         res_str = f"{width}x{height}"
         out_dir = os.path.join(
             "images", "SCENE",
             f"{dims}d{'_' + mode_str if mode_str else ''}"
             f"{'_' + cam_str if cam_str else ''}", res_str)
-        stride = (proc_id, proc_count) if proc_count > 1 else None
-        devices = None
-        if proc_count > 1:
-            import jax
+        if dist_char == "f" and proc_count > 1:
+            from ndt_tpu.render.animate import render_animation_coordinated
 
-            devices = jax.local_devices()
-        secs, total_rays = render_animation_multidevice(
-            mod, dims, first, last, total_frames2, opts, out_dir,
-            config=args.config, devices=devices, frame_stride=stride)
-        n = max(last - first + 1, 1)
+            secs, total_rays, n = render_animation_coordinated(
+                mod, dims, first, last, total_frames2, opts, out_dir,
+                config=args.config)
+        else:
+            # FRAME2: whole frames round-robin across this process's
+            # devices; multi-process adds the frame stride
+            from ndt_tpu.render.animate import render_animation_multidevice
+
+            stride = (proc_id, proc_count) if proc_count > 1 else None
+            devices = None
+            if proc_count > 1:
+                import jax
+
+                devices = jax.local_devices()
+            secs, total_rays, n = render_animation_multidevice(
+                mod, dims, first, last, total_frames2, opts, out_dir,
+                config=args.config, devices=devices, frame_stride=stride)
         print(f"rendered {n} frames in {secs:.1f}s "
-              f"({secs / n:.2f} s/frame, {total_rays / secs / 1e6:.1f} "
-              f"Mrays/s)")
+              f"({secs / max(n, 1):.2f} s/frame, "
+              f"{total_rays / secs / 1e6:.1f} Mrays/s)")
         return 0
 
     # output layout (ndt.c:1840-1873)

@@ -71,3 +71,38 @@ def process_frame_indices(first: int, last: int,
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def broadcast_scene(scn=None):
+    """Ship a coordinator-built Scene to every process (FRAME-mode scene
+    transport, ndt.c:1153-1246: rank 0 serializes the scene to a YAML
+    buffer and MPI_Send/Bcast's it; receivers re-parse and rebuild).
+
+    Process 0 passes the Scene; everyone else passes None.  Two
+    broadcast_one_to_all rounds (length, then the padded byte payload --
+    receivers cannot size the second buffer without the first) move the
+    YAML text over the distributed backend; all processes return an
+    identical re-parsed Scene.  This is what makes ``-b f`` correct for
+    scene_setup that is expensive or draws fresh entropy: only the
+    coordinator ever runs it."""
+    import numpy as np
+
+    from jax.experimental import multihost_utils
+
+    from ndt_tpu.scene.yaml_io import (scene_read_yaml_buffer,
+                                       scene_write_yaml_buffer)
+
+    if jax.process_index() == 0:
+        if scn is None:
+            raise ValueError("coordinator must pass the Scene")
+        payload = np.frombuffer(
+            scene_write_yaml_buffer(scn).encode("utf-8"), np.uint8)
+        n = np.int32(payload.size)
+    else:
+        payload, n = None, np.int32(0)
+    n = int(multihost_utils.broadcast_one_to_all(n))
+    buf = np.zeros((n,), np.uint8)
+    if payload is not None:
+        buf[:] = payload
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return scene_read_yaml_buffer(buf.tobytes().decode("utf-8"))

@@ -151,7 +151,65 @@ def render_animation_multidevice(scene_mod, dimensions: int, first: int,
     while pending:
         total_rays += _drain_one(pending, saver, out_dir, res_str, opts)
     saver.drain()
-    return timer.elapsed(), total_rays
+    return timer.elapsed(), total_rays, n_dispatched
+
+
+def render_animation_coordinated(scene_mod, dimensions: int, first: int,
+                                 last: int, total: int, opts: RenderOptions,
+                                 out_dir: str,
+                                 config: Optional[str] = None):
+    """Coordinator-built FRAME mode (the reference's ``-b f``,
+    ndt.c:1831-1998): process 0 runs scene_setup for EVERY frame -- it is
+    the only process that ever does, so scene builders that are expensive,
+    stateful, or draw fresh entropy behave exactly as in a serial run --
+    and broadcasts each built scene as a YAML buffer
+    (parallel.distributed.broadcast_scene ≙ mpi_send_scene,
+    ndt.c:1153-1246).  Frame i is rendered by process
+    ((i - first) % (count - 1)) + 1 (ndt.c:1834: rank 0 coordinates and
+    does not render); with a single process it degenerates to a serial
+    render.  Unlike the reference, the renderer saves its own frame
+    instead of shipping pixels back to rank 0 (TPU pod hosts each have
+    storage; the image return trip ndt.c:1940-1987 buys nothing).
+
+    Returns (seconds, total_rays, frames_rendered_by_THIS_process)."""
+    import jax
+
+    from ndt_tpu.parallel.distributed import broadcast_scene
+
+    pid, count = jax.process_index(), jax.process_count()
+    saver = AsyncSaver()
+    timer = Timer()
+    res_str = f"{opts.width}x{opts.height}"
+    total_rays = 0
+    n_mine = 0
+    for i in range(0, last + 1):
+        scn = None
+        if pid == 0:
+            scn = Scene("scene", dimensions)
+            scene_mod.scene_setup(scn, dimensions, i, total, config)
+        if i < first:
+            continue
+        scn = broadcast_scene(scn)
+        render_rank = ((i - first) % (count - 1)) + 1 if count > 1 else 0
+        if pid != render_rank:
+            continue
+        if not scn.cam.prepared:
+            scn.cam.aim()
+        img, depth, nrays = render_frame(scn, opts)
+        odir = out_dir.replace("SCENE", scn.name)
+        os.makedirs(odir, exist_ok=True)
+        saver.save(os.path.join(
+            odir, f"{scn.name}_{res_str}_{i:04d}.png"), img)
+        if opts.record_depth and depth is not None:
+            ddir = os.path.join(odir, "depth")
+            os.makedirs(ddir, exist_ok=True)
+            save_depth(os.path.join(
+                ddir, f"{scn.name}_{res_str}_{i:04d}.png"),
+                np.asarray(depth).reshape(opts.height, opts.width))
+        total_rays += int(nrays)
+        n_mine += 1
+    saver.drain()
+    return timer.elapsed(), total_rays, n_mine
 
 
 def _drain_one(pending, saver, out_dir, res_str, opts):

@@ -91,3 +91,81 @@ def test_two_process_sharded_render_matches_single(tmp_path):
     assert np.array_equal(c0, ref), (
         f"multi-process render differs from single-process: "
         f"max|d|={np.abs(c0 - ref).max()}")
+
+
+_CHILD_COORD = """
+import os, sys
+port, pid, outdir, repo = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
+                           sys.argv[4])
+sys.path.insert(0, os.path.join(repo, "tests"))
+sys.path.insert(0, repo)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from ndt_tpu.parallel.distributed import init_distributed
+
+rank, count = init_distributed(f"localhost:{port}", 2, pid)
+assert count == 2 and rank == pid, (rank, count)
+
+import _coord_scene
+from ndt_tpu.render.animate import render_animation_coordinated
+from ndt_tpu.render.engine import RenderOptions
+
+opts = RenderOptions(width=32, height=24, samples=1, tile=32 * 24)
+secs, rays, mine = render_animation_coordinated(
+    _coord_scene, 3, 0, 1, 2, opts, outdir)
+# count=2: every frame renders on rank 1, rank 0 only coordinates
+assert mine == (2 if pid == 1 else 0), (pid, mine)
+print(f"child {pid} ok mine={mine}", flush=True)
+"""
+
+
+def test_coordinator_built_frame_mode(tmp_path):
+    """-b f semantics (ndt.c:1831-1998): scene_setup is deliberately
+    rank-dependent (_coord_scene colors by jax.process_index()); with the
+    coordinator-built FRAME mode the worker's frames must still match a
+    serial process-0 render -- proof the scene rode the YAML broadcast
+    instead of being replayed locally."""
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD_COORD)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(port), str(i), str(outdir),
+             REPO],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"child {i} failed:\n{out[-3000:]}"
+
+    # serial reference: this (single) process IS the coordinator, so the
+    # plain animation runner renders process 0's red-sphere scenes
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import _coord_scene
+
+    from ndt_tpu.render.animate import render_animation
+    from ndt_tpu.render.engine import RenderOptions
+
+    opts = RenderOptions(width=32, height=24, samples=1, tile=32 * 24)
+    ref_dir = tmp_path / "ref"
+    render_animation(_coord_scene, 3, 0, 1, 2, opts, str(ref_dir),
+                     name_fmt="coord_{res}_{i:04d}.png")
+
+    for i in range(2):
+        got = (outdir / f"coord_32x24_{i:04d}.png").read_bytes()
+        want = (ref_dir / f"coord_32x24_{i:04d}.png").read_bytes()
+        assert got == want, f"frame {i} differs from serial coordinator run"
