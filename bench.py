@@ -126,6 +126,78 @@ def _measure(scene_data, cam, x, y, opts, K_hi=8, reps=5, sharded=False):
     return nrays / render_s / 1e6, nrays, render_s, dispatch_s
 
 
+def _vpu_peak_gflops(reps=8):
+    """Measured f32 VPU peak (GFLOP/s) via a register-resident fma chain:
+    128 dependent multiply-adds per element per pass over a VMEM-sized
+    array, so the loop is compute-bound, not HBM-bound.  This is the
+    denominator for est_util -- a measured, hardware-agnostic 'speed of
+    light' for the elementwise work the tracer is made of (the analogue of
+    the reference's est. CPU-hours telemetry, ndt.c:2013-2030)."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 1 << 20
+    U = 128      # fma chain length per element per loop trip
+    K = 32
+
+    @jax.jit
+    def f(x):
+        def body(_, z):
+            for _ in range(U):
+                z = z * 1.0000001 + 0.5
+            return z
+
+        return jax.lax.fori_loop(0, K, body, x).sum()
+
+    x = jnp.ones((N,), jnp.float32)
+    _ = float(f(x))                               # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return 2.0 * U * K * N / ts[len(ts) // 2] / 1e9
+
+
+def _family_flops(meta):
+    """Approximate f32 op count of one (ray, candidate) evaluation per
+    family, counted from pallas_trace._{sphere,plane,quadric,facet,
+    hfacet}_eval (mul+add fused loosely; +-20%).  Order matches
+    cull_lists' count columns (sph, pln, quad, fct, hf)."""
+    D, A, B = meta.dim, meta.a_quad, meta.b_gate
+    return [
+        4 * D + 2 * D * (D - 1) + 14,                   # sphere
+        8 * D + 12,                                     # plane
+        10 * A * D + 2 * D * (D - 1) + 8 * A + 8 * B * D + 20,  # quadric
+        32 * D + 2 * D * (D - 1) + 70,                  # facet
+        14 * D + 44,                                    # hfacet
+    ]
+
+
+def _est_useful_flops_per_ray(sd, o, v):
+    """Estimated useful intersection FLOPs per primary ray: the per-tile
+    cull survivor counts (the exact lists the megakernel walks) times the
+    per-family eval cost.  'Useful' = work on candidates that survive the
+    same cull the kernel uses; the dense-regime utilization gap becomes a
+    tracked number instead of prose (VERDICT r2 item 5)."""
+    import functools
+
+    import jax
+    import numpy as np
+
+    from ndt_tpu.render.pallas_trace import RT, cull_lists
+
+    cl = functools.partial(jax.jit(cull_lists, static_argnames="meta"))
+    total = 0.0
+    for meta, tables in zip(sd.pmeta, sd.ptables):
+        _, counts = cl(tables, o, v, meta)
+        cnt = np.asarray(counts).astype(np.float64)    # [n_tiles, N_FAMS]
+        fl = np.asarray(_family_flops(meta), np.float64)
+        total += float((cnt * fl[None, :]).sum() * RT)
+    return total / o.shape[0]
+
+
 def _wait_for_device(probe_timeout=120.0):
     """Wait for a responsive JAX backend; return its platform name.
 
@@ -196,6 +268,50 @@ def main():
     _ = np.asarray(rays_fn(sd, x, y, jax.random.PRNGKey(0))[0])
     e2e_s = time.perf_counter() - t0
 
+    # pipelined end-to-end: the frame in 4 tiles, each tile's download
+    # started (copy_to_host_async) while the next tile computes -- the
+    # engine's dispatch/download overlap (engine._render_grid) measured on
+    # the exact path BENCH records (VERDICT r2 item 4).  Dispatch is async,
+    # so all 4 launches queue back-to-back and downloads ride alongside.
+    n_tiles = 4
+    tr = x.size // n_tiles
+    opts_t = RenderOptions(width=W, height=H, samples=1, tile=tr)
+    tile_fn = jax.jit(lambda s, xs, ys, k: render_rays(
+        s, *gen_rays(cam, xs, ys, k, opts_t, "center", False, False),
+        k, opts_t))
+    key0 = jax.random.PRNGKey(0)
+    _ = np.asarray(tile_fn(sd, x[:tr], y[:tr], key0)[0])   # compile + warm
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_tiles):
+        c, d, _n = tile_fn(sd, x[i * tr:(i + 1) * tr],
+                           y[i * tr:(i + 1) * tr],
+                           jax.random.fold_in(key0, i))
+        for a in (c, d):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        outs.append((c, d))
+    _cols = [np.asarray(c) for c, _ in outs]
+    e2e_pipe_s = time.perf_counter() - t0
+
+    # measured VPU f32 peak + per-config useful-FLOP estimate (see
+    # _vpu_peak_gflops / _est_useful_flops_per_ray)
+    vpu_peak = _vpu_peak_gflops()
+
+    def _util(sdc, camc, oc, xc, yc, n, rs):
+        try:
+            op, vp = jax.jit(lambda xs, ys, k: gen_rays(
+                camc, xs, ys, k, oc, "center", False, False))(
+                    xc, yc, jax.random.PRNGKey(0))
+            fppr = _est_useful_flops_per_ray(sdc, op, vp)
+            gfs = fppr * n / rs / 1e9
+            return {"est_useful_gflops_per_s": round(gfs, 1),
+                    "est_pct_of_vpu_peak": round(100.0 * gfs / vpu_peak, 2)}
+        except Exception as e:
+            return {"est_util_error": f"{type(e).__name__}: {e}"[:200]}
+
+    util1 = _util(sd, cam, opts, x, y, nrays, render_s)
+
     configs = {}
     if not only1:
         specs = [
@@ -223,6 +339,7 @@ def main():
                     "rays_per_frame": n,
                     "seconds_per_frame_device": round(rs, 5),
                     "resolution": f"{w}x{h}",
+                    **_util(sdc, camc, oc, xc, yc, n, rs),
                 }
             except Exception as e:  # record, never sink the headline
                 configs[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
@@ -252,6 +369,10 @@ def main():
             "seconds_per_frame_device": round(render_s, 4),
             "harness_dispatch_overhead_s": round(dispatch_s, 4),
             "seconds_incl_host_download": round(e2e_s, 4),
+            "seconds_incl_host_download_pipelined_4tile": round(
+                e2e_pipe_s, 4),
+            "vpu_peak_gflops_measured": round(vpu_peak, 1),
+            **util1,
             "resolution": "1920x1080",
             "configs": configs,
             "c_reference_s_per_frame_1core_static": c_ref_s_per_frame,
