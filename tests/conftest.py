@@ -8,11 +8,22 @@ fake an 8-chip mesh for sharding tests.
 """
 
 import os
+import resource
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 )
+
+# XLA:CPU's compile pipeline recurses deeply on big bounce-loop programs;
+# with the default 8 MiB stack an unlucky compile can segfault (observed
+# once on the fused-shading parity test).  Raise the soft limit before the
+# backend spawns its compile threads (they inherit the rlimit at creation).
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 << 20
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    _new = _want if _hard == resource.RLIM_INFINITY else min(_hard, _want)
+    resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
 
 import jax  # noqa: E402
 
