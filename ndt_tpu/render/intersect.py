@@ -211,23 +211,36 @@ def quadric_distances(blk, o, v, pre):
 
     t_out = jnp.where(ok2 | ok1, t_quad, t_slab)
 
-    # kd leaf-cell gate: the reference only TESTS an object when traversal
-    # visits a leaf cell containing it (kd_node_intersect, kd-tree.c:482-568
-    # entered through aabb_intersect(&tree->bb), kd-tree.c:598), which both
-    # clips the orthotope's EPSILON-shell halo at silhouettes and preserves
-    # the shell hits the C does show inside larger cells.  gate_t* are
-    # +/-BIG single boxes for non-slab quadrics, making this a no-op there.
-    # Per aabb_intersect, near-parallel dims (|v| < EPSILON^2) skip the
-    # t-slab test (kd-tree.c:97-99) but traversal still picks children by
-    # POSITION there (kd-tree.c:556-566) -- hence the separate gate_p*.
-    B = blk.gate_tlo.shape[1]
-    if B == 0:              # scene has no slabs: gate statically absent
+    pierced = _cell_pierce(blk, o, v)
+    if pierced is None:     # scene has no gated rows: statically absent
         return t_out
-    pierced = jnp.zeros(qa.shape, bool)
+    return jnp.where(pierced, t_out, MISS)
+
+
+def _cell_pierce(blk, o, v):
+    """kd leaf-cell gate: the reference only TESTS an object when traversal
+    visits a leaf cell containing it (kd_node_intersect, kd-tree.c:482-568
+    entered through aabb_intersect(&tree->bb), kd-tree.c:598), which both
+    clips shell/phantom halos (orthotope EPSILON shells, facet surface
+    shells, D>3 hfacet phantom hypersurfaces) at silhouettes and preserves
+    the hits the C does show inside larger cells.  gate_t* rows are +/-BIG
+    boxes for non-gated rows, making this a no-op there.  Per
+    aabb_intersect, near-parallel dims (|v| < EPSILON^2) skip the t-slab
+    test (kd-tree.c:97-99) but traversal still picks children by POSITION
+    there (kd-tree.c:556-566) -- hence the separate gate_p*.
+
+    Returns [R, N] bool, or None when the block is statically gate-free."""
+    B = blk.gate_tlo.shape[1]
+    if B == 0:
+        return None
+    R, D = o.shape
+    N = blk.gate_tlo.shape[0]
+    shape = (R, N)
+    pierced = jnp.zeros(shape, bool)
     for b in range(B):
-        tl = jnp.full_like(qa, -BIG)
-        tu = jnp.full_like(qa, BIG)
-        ok_pos = jnp.ones(qa.shape, bool)
+        tl = jnp.full(shape, -BIG, o.dtype)
+        tu = jnp.full(shape, BIG, o.dtype)
+        ok_pos = jnp.ones(shape, bool)
         for d in range(D):
             vd = v[:, d][:, None]
             od = o[:, d][:, None]
@@ -242,7 +255,7 @@ def quadric_distances(blk, o, v, pre):
                 & (od <= blk.gate_phi[:, b, d][None, :] + EPSILON))
         pierced |= (ok_pos & (tu + EPSILON >= -EPSILON)
                     & (tl - EPSILON <= tu + EPSILON))
-    return jnp.where(pierced, t_out, MISS)
+    return pierced
 
 
 def quadric_normal(blk, rows, hit, o, v, t):
@@ -314,6 +327,11 @@ def facet_distances(blk, o, v, pre):
         cos_q = u_dot_e / jnp.where(div > EPSILON, div, 1.0)
         # degenerate div: vectNd_angle returns -1, which passes the > test
         ok &= (div <= EPSILON) | (cos_q >= blk.cos_angles[:, i][None, :])
+    # kd leaf-cell gate (see _cell_pierce): the EPSILON surface shell is
+    # only reachable where the C's traversal tests the item
+    pierced = _cell_pierce(blk, o, v)
+    if pierced is not None:
+        ok &= pierced
     return jnp.where(ok, t, MISS)
 
 
@@ -363,6 +381,13 @@ def hfacet_distances(blk, o, v, pre):
     voc = pre["vo"][:, None] - _mm(v, blk.b_center)
     desc = voc * voc - oc2 + (blk.b_radius * blk.b_radius)[None, :]
     ok &= (desc >= 0.0) & ~((voc > 0.0) & (voc * voc > desc))
+    # kd leaf-cell gate (see _cell_pierce): for D > 3 the phantom
+    # hypersurface's visible extent IS the set of rays reaching a leaf
+    # cell containing the item -- the bounding-sphere cull above matches
+    # the C's trace() but NOT which rays ever reach trace()
+    pierced = _cell_pierce(blk, o, v)
+    if pierced is not None:
+        ok &= pierced
     return jnp.where(ok, t, MISS)
 
 

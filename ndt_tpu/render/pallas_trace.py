@@ -96,6 +96,8 @@ class PallasMeta(NamedTuple):
     inf_gids: tuple = ()
     n_fct: int = 0   # facet family rows (facet.c triangles)
     n_hf: int = 0    # hfacet family rows (hfacet.c triangles)
+    b_fct: int = 0   # kd leaf-cell gate boxes per facet (0 = no gating)
+    b_hf: int = 0    # kd leaf-cell gate boxes per hfacet (0 = no gating)
 
 
 # --------------------------------------------------------------------------
@@ -247,20 +249,50 @@ def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref,
     return t, nrm
 
 
-def _facet_width(D):
-    """Flat facet table row width (see pack_params layout)."""
-    return 10 * D + 11
+def _facet_width(D, B=0):
+    """Flat facet table row width (see pack_params layout); B gate boxes
+    append 4*B*D values (per box: tlo/thi then plo/phi, d-interleaved)."""
+    return 10 * D + 11 + 4 * B * D
 
 
-def _facet_eval(fct_ref, n, o, v, D, want_normal):
+def _row_gate_pierce(ref, gate_off, B, D, o, v):
+    """kd leaf-cell gate over row-embedded boxes (see intersect._cell_pierce
+    for semantics/citations).  ``gate_off`` is the row offset of the first
+    box; each box is [tlo0 thi0 tlo1 thi1 ... plo0 phi0 ...] (2D t-bounds
+    then 2D position bounds)."""
+    pierced = None
+    for b in range(B):
+        gb = gate_off + b * 4 * D
+        tl = jnp.full(o[0].shape, -BIG)
+        tu = jnp.full(o[0].shape, BIG)
+        ok_pos = jnp.ones(o[0].shape, bool)
+        for d in range(D):
+            usable = jnp.abs(v[d]) >= EPSILON * EPSILON   # EPSILON2
+            safe_v = jnp.where(usable, v[d], 1.0)
+            t_a = (ref[gb + 2 * d] - o[d]) / safe_v
+            t_b = (ref[gb + 2 * d + 1] - o[d]) / safe_v
+            tl = jnp.where(usable,
+                           jnp.maximum(tl, jnp.minimum(t_a, t_b)), tl)
+            tu = jnp.where(usable,
+                           jnp.minimum(tu, jnp.maximum(t_a, t_b)), tu)
+            ok_pos &= usable | (
+                (o[d] >= ref[gb + 2 * D + 2 * d] - EPSILON)
+                & (o[d] <= ref[gb + 2 * D + 2 * d + 1] + EPSILON))
+        pb = (ok_pos & (tu + EPSILON >= -EPSILON)
+              & (tl - EPSILON <= tu + EPSILON))
+        pierced = pb if pierced is None else (pierced | pb)
+    return pierced
+
+
+def _facet_eval(fct_ref, n, o, v, D, B, want_normal):
     """Triangle facet (facet.c:166-269): plane closest-approach with an
     EPSILON surface-distance acceptance, then the vertex-angle inside test
     (facet.c:149-164).  Mirrors intersect.facet_distances, with the
     Lagrange-identity gram trick for the f32-stable |surf| at the minimum.
 
     Row layout: b0[D] b1[D] base[D] bb0 bb1 v0..v2[3D] e0..e2[3D]
-    vdote[3] edote[3] cosang[3] normal[D]."""
-    w = n * _facet_width(D)
+    vdote[3] edote[3] cosang[3] normal[D] [gates: 4*B*D]."""
+    w = n * _facet_width(D, B)
     b0 = [fct_ref[w + d] for d in range(D)]
     b1 = [fct_ref[w + D + d] for d in range(D)]
     base = [fct_ref[w + 2 * D + d] for d in range(D)]
@@ -320,6 +352,10 @@ def _facet_eval(fct_ref, n, o, v, D, want_normal):
         cos_q = u_dot_e / jnp.where(div > EPSILON, div, 1.0)
         # degenerate div: vectNd_angle returns -1, which passes (> test)
         ok &= (div <= EPSILON) | (cos_q >= cosang)
+    if B:
+        # kd leaf-cell gate: the EPSILON shell is only reachable where the
+        # reference's traversal tests the item (see intersect._cell_pierce)
+        ok &= _row_gate_pierce(fct_ref, w + 10 * D + 11, B, D, o, v)
     t_out = jnp.where(ok, t, BIG)
     if not want_normal:
         return t_out, None
@@ -328,19 +364,20 @@ def _facet_eval(fct_ref, n, o, v, D, want_normal):
     return t_out, nrm
 
 
-def _hfacet_width(D):
-    return 7 * D + 12
+def _hfacet_width(D, B=0):
+    return 7 * D + 12 + 4 * B * D
 
 
-def _hfacet_eval(hf_ref, n, o, v, D, want_normal):
+def _hfacet_eval(hf_ref, n, o, v, D, B, want_normal):
     """hfacet (hfacet.c:211-310): ones-contraction linear solve + 2-D
     barycentric inside test + the per-ray bounding-sphere gate that the C
     gets from trace()'s cull (object.c:605-630) -- mirrors
     intersect.hfacet_distances.
 
     Row layout: v0[D] ue0[D] ep[D] sum_ue0 sum_ep v0_ue0 v0_ep v0_sum
-    x2 y2 x3 y3 inv_den use_normals vn0..vn2[3D] b_center[D] b_r2."""
-    w = n * _hfacet_width(D)
+    x2 y2 x3 y3 inv_den use_normals vn0..vn2[3D] b_center[D] b_r2
+    [gates: 4*B*D]."""
+    w = n * _hfacet_width(D, B)
     v0 = [hf_ref[w + d] for d in range(D)]
     ue0 = [hf_ref[w + D + d] for d in range(D)]
     ep = [hf_ref[w + 2 * D + d] for d in range(D)]
@@ -388,6 +425,11 @@ def _hfacet_eval(hf_ref, n, o, v, D, want_normal):
     voc = vo - sum(v[d] * bc[d] for d in range(D))
     desc = voc * voc - oc2 + br2
     ok &= (desc >= 0.0) & ~((voc > 0.0) & (voc * voc > desc))
+    if B:
+        # kd leaf-cell gate: the D>3 phantom hypersurface's visible extent
+        # is the set of rays reaching a leaf cell containing the item (see
+        # intersect._cell_pierce)
+        ok &= _row_gate_pierce(hf_ref, w + 7 * D + 12, B, D, o, v)
     t_out = jnp.where(ok, t, BIG)
     if not want_normal:
         return t_out, None
@@ -558,8 +600,10 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
                     qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
                     qslab_ref, qgt_ref, qgp_ref, n, o, v, D, A,
                     meta.b_gate, normals),
-                "fct": lambda n: _facet_eval(fct_ref, n, o, v, D, normals),
-                "hf": lambda n: _hfacet_eval(hf_ref, n, o, v, D, normals),
+                "fct": lambda n: _facet_eval(fct_ref, n, o, v, D,
+                                             meta.b_fct, normals),
+                "hf": lambda n: _hfacet_eval(hf_ref, n, o, v, D,
+                                             meta.b_hf, normals),
             }
 
         evals = make_evals(o, v, want_normal)
@@ -856,8 +900,10 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
                     qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
                     qslab_ref, qgt_ref, qgp_ref, n, so, sv, D, A,
                     meta.b_gate, False),
-                "fct": lambda n: _facet_eval(fct_ref, n, so, sv, D, False),
-                "hf": lambda n: _hfacet_eval(hf_ref, n, so, sv, D, False),
+                "fct": lambda n: _facet_eval(fct_ref, n, so, sv, D,
+                                             meta.b_fct, False),
+                "hf": lambda n: _hfacet_eval(hf_ref, n, so, sv, D,
+                                             meta.b_hf, False),
             }
 
         gid_fam = functools.partial(_gid_fam, meta)
@@ -1211,7 +1257,23 @@ def pack_params(scene):
                         np.full((1, 1, D), BIG, f32)], axis=-1)
         qgp = qgt
 
+    def gate_cols(blk):
+        """Row-embedded gate boxes: per box [tlo/thi d-interleaved (2D),
+        plo/phi d-interleaved (2D)] -- the layout _row_gate_pierce reads."""
+        Bk = blk.gate_tlo.shape[1]
+        if Bk == 0:
+            return None, 0
+        nb = blk.gate_tlo.shape[0]
+        gt = np.stack([np.asarray(blk.gate_tlo, f32),
+                       np.asarray(blk.gate_thi, f32)], axis=-1)  # [n,B,D,2]
+        gp = np.stack([np.asarray(blk.gate_plo, f32),
+                       np.asarray(blk.gate_phi, f32)], axis=-1)
+        cols = np.concatenate([gt.reshape(nb, Bk, 2 * D),
+                               gp.reshape(nb, Bk, 2 * D)], axis=2)
+        return cols.reshape(nb, Bk * 4 * D), Bk
+
     fct = scene.facets
+    B_f = 0
     if fct is not None:
         # row layout documented in _facet_eval
         verts = np.asarray(fct.verts, np.float64)        # [n, 3, D]
@@ -1219,6 +1281,7 @@ def pack_params(scene):
         basis = np.asarray(fct.basis, np.float64)        # [n, 2, D]
         base = verts[:, 1, :]
         n_f = verts.shape[0]
+        fgates, B_f = gate_cols(fct)
         fct_tab = np.concatenate([
             basis[:, 0, :], basis[:, 1, :], base,
             (base * basis[:, 0, :]).sum(1)[:, None],
@@ -1229,7 +1292,9 @@ def pack_params(scene):
             np.asarray(fct.cos_angles, np.float64),
             np.asarray(fct.normal, np.float64),
         ], axis=1).astype(f32)
-        assert fct_tab.shape[1] == _facet_width(D), fct_tab.shape
+        if B_f:
+            fct_tab = np.concatenate([fct_tab, fgates], axis=1)
+        assert fct_tab.shape[1] == _facet_width(D, B_f), fct_tab.shape
         mats.append(np.asarray(fct.mat_id, np.int32))
         ranks.append(np.asarray(fct.shadow_rank, np.int32))
         bnds.append(bounds_rows(fct))
@@ -1237,6 +1302,7 @@ def pack_params(scene):
         fct_tab = np.zeros((1, _facet_width(D)), f32)
 
     hf = scene.hfacets
+    B_h = 0
     if hf is not None:
         # row layout documented in _hfacet_eval
         verts = np.asarray(hf.verts, np.float64)
@@ -1264,7 +1330,10 @@ def pack_params(scene):
             np.asarray(hf.b_center, np.float64),
             (br * br)[:, None],
         ], axis=1).astype(f32)
-        assert hf_tab.shape[1] == _hfacet_width(D), hf_tab.shape
+        hgates, B_h = gate_cols(hf)
+        if B_h:
+            hf_tab = np.concatenate([hf_tab, hgates], axis=1)
+        assert hf_tab.shape[1] == _hfacet_width(D, B_h), hf_tab.shape
         mats.append(np.asarray(hf.mat_id, np.int32))
         ranks.append(np.asarray(hf.shadow_rank, np.int32))
         bnds.append(bounds_rows(hf))
@@ -1298,6 +1367,8 @@ def pack_params(scene):
         inf_gids=inf_gids,
         n_fct=0 if fct is None else fct.verts.shape[0],
         n_hf=0 if hf is None else hf.verts.shape[0],
+        b_fct=B_f,
+        b_hf=B_h,
     )
     return meta, (sph_tab.ravel(), pln_tab.ravel(), qbase.ravel(),
                   qaxes.ravel(), qlo.ravel(), qhi.ravel(), qoff.ravel(),

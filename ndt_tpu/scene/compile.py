@@ -75,7 +75,7 @@ class QuadricBlock:
     hi: object          # [n, A] upper bound (padded/infinite: +/-BIG)
     qc_off: object      # [n] subtracted from Q.Q: r^2, or EPSILON for slabs
     is_slab: object     # [n] 1.0 where the orthotope fallback path applies
-    # kd leaf-cell gate (see _quadric_gates): a slab's EPSILON-shell hit is
+    # kd leaf-cell gate (see _kd_cell_gates): a slab's EPSILON-shell hit is
     # only reachable when the ray pierces a kd leaf cell containing the
     # item, exactly as the reference's traversal works.  gate_tlo/thi are
     # the cell boxes clipped by the tree AABB (used in the t-slab test);
@@ -99,6 +99,13 @@ class FacetBlock:
     basis: object       # [n, 2, D]  orthonormal plane basis
     cos_angles: object  # [n, 3]  cos of interior vertex angles
     normal: object      # [n, D]  dir[0], used uniformly (facet.c:257)
+    # kd leaf-cell gate (see _kd_cell_gates): the facet's EPSILON surface
+    # shell (facet.c:239-246) is only reachable where the reference's
+    # traversal tests the item.  Same layout/semantics as QuadricBlock's.
+    gate_tlo: object    # [n, B, D]
+    gate_thi: object    # [n, B, D]
+    gate_plo: object    # [n, B, D]
+    gate_phi: object    # [n, B, D]
     mat_id: object
     b_center: object
     b_radius: object
@@ -118,6 +125,15 @@ class HFacetBlock:
     bary_y3: object     # [n]  ep  . edge2r
     use_normals: object # [n]  flag[0]
     vnormals: object    # [n, 3, D]
+    # kd leaf-cell gate (see _kd_cell_gates): for D > 3 the hfacet's
+    # ones-contraction solve returns phantom hits on a whole hypersurface;
+    # the C renders exactly the part whose rays reach a leaf cell holding
+    # the item, so the gate IS the object's visible extent.  Same
+    # layout/semantics as QuadricBlock's.
+    gate_tlo: object    # [n, B, D]
+    gate_thi: object    # [n, B, D]
+    gate_plo: object    # [n, B, D]
+    gate_phi: object    # [n, B, D]
     mat_id: object
     b_center: object
     b_radius: object
@@ -448,16 +464,35 @@ def _quadric_params(obj: Object):
     raise ValueError(t)
 
 
-def _quadric_gates(leaves, kd_items, dim):
-    """Leaf-cell gate boxes for slab (orthotope) leaves.
+def _leaf_gated(leaf) -> bool:
+    """Leaves whose ACCEPTANCE depends on the reference's traversal
+    reachability (beyond plain geometry), so they need kd leaf-cell gates:
+
+    * orthotope slabs -- the EPSILON-shell (qc -= EPSILON, orthotope.c:203,
+      closest-approach fallback orthotope.c:233-275) lights a 0.01-thick
+      halo only where traversal actually tests the item;
+    * facets -- the same EPSILON surface-distance acceptance
+      (facet.c:239-246), a +-0.01 shell around the triangle plane;
+    * hfacets -- the ones-contraction solve t = -(Q.1)/(R.1)
+      (hfacet.c:238-264) enforces ONE of the D-2 plane constraints, so for
+      D > 3 it returns "phantom" hits on a whole hypersurface far off the
+      real triangle.  The C renders exactly the part of that hypersurface
+      whose rays reach a leaf cell containing the item; the visible extent
+      IS the cull geometry, so it must be replicated.
+    """
+    if leaf.kind in ("facet", "hfacet"):
+        return True
+    # is_slab is a static property of the type (orthotope only) -- don't
+    # recompute the full prepare() per leaf just to read it
+    return leaf.kind == "quadric" and leaf.obj.type_name == "orthotope"
+
+
+def _kd_cell_gates(leaves, kd_items, dim):
+    """Leaf-cell gate boxes for gate-dependent leaves (see _leaf_gated).
 
     The reference only calls an object's intersect when kd traversal visits
-    a leaf cell containing the item, so the orthotope's EPSILON-shell hits
-    (qc -= EPSILON, orthotope.c:203, fallback orthotope.c:233-275) are
-    reachable only for rays piercing such a cell.  Without this gate
-    silhouette-grazing rays light up a 0.01-thick halo around every slab
-    that the C never shows; with only a per-item AABB gate, shell hits the
-    C DOES show (via larger cells) go missing.  So we rebuild the C's kd
+    a leaf cell containing the item, so its shell/phantom hits are
+    reachable only for rays piercing such a cell.  We rebuild the C's kd
     tree exactly (utils/kdtree.build_c_exact) and gate on the union of the
     item's leaf cells, clipped by the tree's root AABB for the t-test
     (kd_tree_intersect enters through aabb_intersect(&tree->bb),
@@ -466,12 +501,9 @@ def _quadric_gates(leaves, kd_items, dim):
     picks children by position (kd-tree.c:556-566)."""
     from ndt_tpu.utils.kdtree import build_c_exact
 
-    # is_slab is a static property of the type (orthotope only) -- don't
-    # recompute the full prepare() per leaf just to read it
-    slab_items = sorted({l.kd_item for l in leaves
-                         if l.kind == "quadric" and l.kd_item >= 0
-                         and l.obj.type_name == "orthotope"})
-    if not slab_items or not kd_items:
+    gated_items = sorted({l.kd_item for l in leaves
+                          if l.kd_item >= 0 and _leaf_gated(l)})
+    if not gated_items or not kd_items:
         return None
     lowers = np.stack([lo for lo, _ in kd_items])
     uppers = np.stack([hi for _, hi in kd_items])
@@ -479,17 +511,20 @@ def _quadric_gates(leaves, kd_items, dim):
         import warnings
         warnings.warn(
             f"scene has {len(kd_items)} kd items > {_KD_EXACT_MAX}: "
-            "orthotope EPSILON-shell gating falls back from C-exact kd "
-            "leaf cells to per-item AABBs (conservative; golden parity "
-            "not guaranteed past this threshold)", RuntimeWarning,
-            stacklevel=2)
+            "shell/phantom gating (orthotope EPSILON shells, facet "
+            "surface shells, D>3 hfacet phantom hypersurfaces) falls back "
+            "from C-exact kd leaf cells to per-item AABBs.  One-sided vs "
+            "the C: an item's cell union always CONTAINS its AABB, so "
+            "every hit shown here the C also shows, but the C can show "
+            "shell/phantom hits beyond the AABB that this build clips",
+            RuntimeWarning, stacklevel=2)
         # the C-exact build duplicates straddling items into both children,
         # which explodes combinatorially on dense scenes (measured ~5M leaf
         # cells at 300 overlapping random objects -- the reference's own
         # builder has the same blowup, it just never renders such scenes
-        # interactively).  Past the threshold each slab gates on its own
-        # item AABB: still a tight halo bound, exact leaf-cell parity is
-        # guaranteed only below the threshold (covers every golden scene).
+        # interactively).  Past the threshold each gated leaf uses its own
+        # item AABB: exact leaf-cell parity is guaranteed only below the
+        # threshold (covers every golden scene).
         cells = [[np.stack([lowers[i], uppers[i]], axis=-1)]
                  for i in range(len(kd_items))]
     else:
@@ -500,65 +535,53 @@ def _quadric_gates(leaves, kd_items, dim):
     return cells, bb_lo, bb_hi
 
 
-_GATE_MAX = 24      # max kd leaf cells per slab before union fallback
+_GATE_MAX = 24      # max kd leaf cells per item before union fallback
 _KD_EXACT_MAX = 256  # max kd items for the C-exact leaf-cell build
 
 
-def _build_quadrics(leaves, dim, dt, gates=None):
+def _pack_gate_tables(leaves, dim, gates):
+    """[n, B, D] leaf-cell gate boxes for one block's leaves; rows whose
+    leaf is not gated (or when ``gates`` is None) stay +-BIG = trivially
+    pierced, and B == 0 when NOTHING in the block is gated, statically
+    skipping the gate in both kernels.  Returns (tlo, thi, plo, phi)."""
     n = len(leaves)
-    params = [_quadric_params(l.obj) for l in leaves]
-    a_max = max(len(p[1]) for p in params)
-    base = np.zeros((n, dim))
-    axes = np.zeros((n, a_max, dim))
-    gram = np.zeros((n, a_max, a_max))
-    lo = np.full((n, a_max), -BIG)
-    hi = np.full((n, a_max), BIG)
-    qc_off = np.zeros(n)
-    is_slab = np.zeros(n)
     boxes = [None] * n
-    b_max = 1
-    for k, (b, ax, l, h, q, slab) in enumerate(params):
-        base[k] = b
-        a = len(ax)
-        axes[k, :a] = np.stack(ax)
-        gram[k, :a, :a] = axes[k, :a] @ axes[k, :a].T
-        lo[k, :a] = l
-        hi[k, :a] = h
-        qc_off[k] = q
-        is_slab[k] = 1.0 if slab else 0.0
-        if slab and gates is not None and leaves[k].kd_item >= 0:
-            cells, _, _ = gates
-            boxes[k] = cells[leaves[k].kd_item]
-            # kd straddler duplication can give one slab thousands of leaf
+    b_max = 0
+    if gates is not None:
+        cells, bb_lo, bb_hi = gates
+        for k, l in enumerate(leaves):
+            if not _leaf_gated(l) or l.kd_item < 0:
+                continue
+            bx = cells[l.kd_item]
+            # kd straddler duplication can give one item thousands of leaf
             # cells in dense scenes (the gate tables are [n, B, D] and the
             # kernel unrolls B box tests per candidate).  Beyond GATE_MAX
             # cells, fall back to their union: conservative -- it can admit
-            # EPSILON-shell grazes in inter-cell gaps that the C's exact
+            # shell/phantom grazes in inter-cell gaps that the C's exact
             # traversal rejects -- but bounded, and exactness is preserved
-            # for every scene whose slabs stay under the cap (all goldens).
-            if len(boxes[k]) > _GATE_MAX:
+            # for every scene whose items stay under the cap (all goldens).
+            if len(bx) > _GATE_MAX:
                 import warnings
 
-                # stable message (no per-slab counts), so the default
+                # stable message (no per-item counts), so the default
                 # warning filter emits it ONCE per process instead of once
-                # per affected slab (dense scenes have hundreds)
+                # per affected item (dense scenes have hundreds)
                 warnings.warn(
-                    f"some slab gates exceed {_GATE_MAX} kd cells: "
+                    f"some leaf-cell gates exceed {_GATE_MAX} kd cells: "
                     "falling back to their union box (conservative vs "
                     "the C's exact traversal)",
                     RuntimeWarning, stacklevel=2)
-                arr = np.stack(boxes[k])                  # [B_k, D, 2]
+                arr = np.stack(bx)                        # [B_k, D, 2]
                 union = np.stack([arr[:, :, 0].min(0),
                                   arr[:, :, 1].max(0)], axis=-1)
-                boxes[k] = [union]
-            b_max = max(b_max, len(boxes[k]))
-    if not is_slab.any():
-        b_max = 0           # statically skips the gate in both kernels
+                bx = [union]
+            boxes[k] = bx
+            b_max = max(b_max, len(bx))
     gate_tlo = np.full((n, b_max, dim), -BIG)
     gate_thi = np.full((n, b_max, dim), BIG)
     gate_plo = np.full((n, b_max, dim), -BIG)
     gate_phi = np.full((n, b_max, dim), BIG)
-    if gates is not None:
+    if gates is not None and b_max:
         _, bb_lo, bb_hi = gates
         for k, bx in enumerate(boxes):
             if bx is None:
@@ -573,6 +596,31 @@ def _build_quadrics(leaves, dim, dt, gates=None):
             # padding rows must NOT pierce: empty-inverted t boxes
             gate_tlo[k, nb:] = BIG
             gate_thi[k, nb:] = -BIG
+    return gate_tlo, gate_thi, gate_plo, gate_phi
+
+
+def _build_quadrics(leaves, dim, dt, gates=None):
+    n = len(leaves)
+    params = [_quadric_params(l.obj) for l in leaves]
+    a_max = max(len(p[1]) for p in params)
+    base = np.zeros((n, dim))
+    axes = np.zeros((n, a_max, dim))
+    gram = np.zeros((n, a_max, a_max))
+    lo = np.full((n, a_max), -BIG)
+    hi = np.full((n, a_max), BIG)
+    qc_off = np.zeros(n)
+    is_slab = np.zeros(n)
+    for k, (b, ax, l, h, q, slab) in enumerate(params):
+        base[k] = b
+        a = len(ax)
+        axes[k, :a] = np.stack(ax)
+        gram[k, :a, :a] = axes[k, :a] @ axes[k, :a].T
+        lo[k, :a] = l
+        hi[k, :a] = h
+        qc_off[k] = q
+        is_slab[k] = 1.0 if slab else 0.0
+    gate_tlo, gate_thi, gate_plo, gate_phi = _pack_gate_tables(
+        leaves, dim, gates)
     return QuadricBlock(
         base=base.astype(dt), axes=axes.astype(dt), gram=gram.astype(dt),
         lo=lo.astype(dt), hi=hi.astype(dt), qc_off=qc_off.astype(dt),
@@ -583,7 +631,7 @@ def _build_quadrics(leaves, dim, dt, gates=None):
         **_bounds_arrays(leaves, dim, dt))
 
 
-def _build_facets(leaves, dim, dt):
+def _build_facets(leaves, dim, dt, gates=None):
     n = len(leaves)
     verts = np.stack([np.stack(l.obj.pos[:3]) for l in leaves])  # [n,3,D]
     edges = np.stack([verts[:, (i + 1) % 3] - verts[:, i]
@@ -598,15 +646,19 @@ def _build_facets(leaves, dim, dt):
             ang = mathnd.angle3(verts[k, kk], verts[k, i], verts[k, j])
             cos_angles[k, i] = np.cos(ang)
     normal = np.stack([l.obj.dir[0] for l in leaves])
+    gate_tlo, gate_thi, gate_plo, gate_phi = _pack_gate_tables(
+        leaves, dim, gates)
     return FacetBlock(
         verts=verts.astype(dt), edges=edges.astype(dt),
         basis=basis.astype(dt), cos_angles=cos_angles.astype(dt),
         normal=normal.astype(dt),
+        gate_tlo=gate_tlo.astype(dt), gate_thi=gate_thi.astype(dt),
+        gate_plo=gate_plo.astype(dt), gate_phi=gate_phi.astype(dt),
         mat_id=np.array([l.mat_id for l in leaves], np.int32),
         **_bounds_arrays(leaves, dim, dt))
 
 
-def _build_hfacets(leaves, dim, dt):
+def _build_hfacets(leaves, dim, dt, gates=None):
     n = len(leaves)
     verts = np.stack([np.stack(l.obj.pos[:3]) for l in leaves])
     edge0 = verts[:, 1] - verts[:, 0]
@@ -622,8 +674,12 @@ def _build_hfacets(leaves, dim, dt):
         use_normals[k] = float(l.obj.flag[0]) if l.obj.flag else 0.0
         for i in range(min(3, len(l.obj.dir))):
             vnormals[k, i] = l.obj.dir[i]
+    gate_tlo, gate_thi, gate_plo, gate_phi = _pack_gate_tables(
+        leaves, dim, gates)
     return HFacetBlock(
         verts=verts.astype(dt), ue0=ue0.astype(dt), ep=ep.astype(dt),
+        gate_tlo=gate_tlo.astype(dt), gate_thi=gate_thi.astype(dt),
+        gate_plo=gate_plo.astype(dt), gate_phi=gate_phi.astype(dt),
         sum_ue0=ue0.sum(-1).astype(dt), sum_ep=ep.sum(-1).astype(dt),
         bary_x2=(ue0 * edge0).sum(-1).astype(dt),
         bary_y2=(ep * edge0).sum(-1).astype(dt),
@@ -690,12 +746,12 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
             rank += 1
 
     kwargs = {}
+    gates = _kd_cell_gates(leaves, kd_items, scene.dim)
     for kind, (field, builder) in _BUILDERS.items():
         ls = [l for l in leaves if l.kind == kind]
         if not ls:
             continue
-        if kind == "quadric":
-            gates = _quadric_gates(ls, kd_items, scene.dim)
+        if kind in ("quadric", "facet", "hfacet"):
             kwargs[field] = builder(ls, scene.dim, dt, gates)
         else:
             kwargs[field] = builder(ls, scene.dim, dt)
@@ -757,14 +813,16 @@ def _pack_chunked(sd: "SceneData"):
     D = sd.dim
     A = 0 if sd.quadrics is None else sd.quadrics.axes.shape[1]
     B = 0 if sd.quadrics is None else sd.quadrics.gate_tlo.shape[1]
+    B_f = 0 if sd.facets is None else sd.facets.gate_tlo.shape[1]
+    B_h = 0 if sd.hfacets is None else sd.hfacets.gate_tlo.shape[1]
     cost = {"spheres": 4 * ((D + 1) + 2 + (D + 1)),
             "planes": 4 * ((2 * D + 1) + 2 + (D + 1)),
             "quadrics": 4 * ((D + A * D + 2 * A + 2) + 4 * B * D + 2
                              + (D + 1)),
             # widths: pallas_trace _facet_width/_hfacet_width + mat/rank
             # + bounds
-            "facets": 4 * ((10 * D + 11) + 2 + (D + 1)),
-            "hfacets": 4 * ((7 * D + 12) + 2 + (D + 1))}
+            "facets": 4 * ((10 * D + 11 + 4 * B_f * D) + 2 + (D + 1)),
+            "hfacets": 4 * ((7 * D + 12 + 4 * B_h * D) + 2 + (D + 1))}
     # every object row additionally costs one per-tile cull-list slot
     # (int32) and one reach slot (f32) of SMEM in the kernel call
     cost = {f: c + 8 for f, c in cost.items()}
