@@ -14,12 +14,114 @@ accounting) runs on-device and is forced with a checksum reduction; a
 (K_hi - K_lo)-frame slope isolates pure device time from this dev
 harness's per-dispatch tunnel latency (~25 ms, absent on a production
 PCIe-attached host).  NDT_BENCH_CONFIGS=1 limits the run to config 1.
+
+Robustness (round 4; BENCH_r03 was rc=124 with no metric recorded): the
+run ALWAYS emits its JSON line.  bench.py runs as a lightweight
+COORDINATOR that spawns itself as a worker subprocess
+(NDT_BENCH_WORKER=1): the worker takes the headline measurement first
+and rewrites a snapshot file after every completed stage; the
+coordinator -- never blocked in native code, so always responsive to
+SIGTERM and its own deadline (NDT_BENCH_DEADLINE seconds, default 1080)
+-- kills the worker when time is up and prints the latest snapshot.
+This matters because a minutes-long XLA/Mosaic kernel compile holds the
+worker's main thread inside native code where Python signal handlers
+cannot run; a single in-process handler (the obvious design) would
+never fire under the driver's `timeout`.  The worker also gates each
+optional stage (download timing, VPU peak, utilization estimates,
+secondary configs) on the remaining budget, and XLA compiles are cached
+in .jax_cache so repeat runs skip the dominant cost.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
+
+_T0 = time.time()
+_DEADLINE = _T0 + float(os.environ.get("NDT_BENCH_DEADLINE", "1080"))
+_SNAPSHOT = os.environ.get("NDT_BENCH_SNAPSHOT") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_snapshot.json")
+
+# Best-so-far record; the worker rewrites _SNAPSHOT with it after every
+# completed stage, and the coordinator prints whatever snapshot exists
+# when the worker finishes or time runs out.
+_RESULT = {
+    "metric": "Mrays/s/chip (4-D balls @1080p)",
+    "value": 0.0,
+    "unit": "Mrays/s",
+    "vs_baseline": 0.0,
+    "detail": {"status": "startup: no measurement yet"},
+}
+
+
+def _remaining():
+    return _DEADLINE - time.time()
+
+
+def _log(msg):
+    print(f"bench[{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _snapshot():
+    tmp = _SNAPSHOT + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(_RESULT))
+    os.replace(tmp, _SNAPSHOT)
+
+
+def _coordinator():
+    """Spawn the worker, babysit it against the deadline and incoming
+    signals, and print exactly one JSON line from the latest snapshot."""
+    try:
+        os.unlink(_SNAPSHOT)
+    except OSError:
+        pass
+    _snapshot()                       # a valid record exists from t=0
+    env = dict(os.environ, NDT_BENCH_WORKER="1",
+               NDT_BENCH_SNAPSHOT=_SNAPSHOT)
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            stdout=sys.stderr, env=env)
+
+    interrupted = []
+
+    def _on_signal(signum, frame):
+        interrupted.append(signum)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    rc = None
+    while rc is None and not interrupted and _remaining() > 10:
+        try:
+            rc = proc.wait(timeout=min(5.0, max(_remaining() - 10, 0.1)))
+        except subprocess.TimeoutExpired:
+            pass
+    if rc is None:
+        # deadline or signal: the worker may be GIL-stuck in a native
+        # compile, so SIGKILL (SIGTERM could be deferred indefinitely)
+        proc.kill()
+        proc.wait()
+    try:
+        with open(_SNAPSHOT) as f:
+            result = json.load(f)
+    except Exception:
+        result = _RESULT
+    if rc is None or rc != 0:
+        # rc None: we killed it (deadline/own signal); rc < 0: the driver's
+        # `timeout` signalled the whole process group and the worker died
+        # of the signal directly; rc > 0: worker crashed.  In every case
+        # the snapshot holds the last fully-measured stage.
+        why = (f"signal {interrupted[0]}" if interrupted else
+               f"deadline {_DEADLINE - _T0:.0f}s" if rc is None else
+               f"worker exit {rc}")
+        result.setdefault("detail", {})["status"] = (
+            f"stopped by {why} at t+{time.time() - _T0:.0f}s; "
+            "partial result")
+    print(json.dumps(result), flush=True)
+    return 0 if result.get("value", 0) > 0 else (rc or 1)
 
 
 def _build(scene_key, dim, width, height, frame=0, config=None):
@@ -97,27 +199,31 @@ def _measure(scene_data, cam, x, y, opts, K_hi=8, reps=5, sharded=False):
             o, v = gen_rays(cam, x, y, k, opts, "center", False, False)
             return render_rays(s, o, v, k, opts)
 
-    def make_k(K):
-        @jax.jit
-        def f(s, x, y, k):
-            def body(i, acc):
-                c, d, n = render1(s, x, y, jax.random.fold_in(k, i))
-                return acc + c.sum() + d.sum() + n.astype(jnp.float32)
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
-        return f
+    # ONE jit with a dynamic frame count K (fori_loop with a traced bound
+    # lowers to while) -- the giant render body is traced and compiled
+    # exactly once per config; tracing/lowering dominates warm-cache wall
+    # time (random150's kernel traces for minutes), so the old
+    # three-trace scheme (nrays probe + K=1 jit + K_hi jit) tripled it.
+    @jax.jit
+    def f(s, x, y, k, K):
+        def body(i, carry):
+            acc, _ = carry
+            c, d, n = render1(s, x, y, jax.random.fold_in(k, i))
+            return acc + c.sum() + d.sum(), n
+        return jax.lax.fori_loop(0, K, body,
+                                 (jnp.float32(0), jnp.int32(0)))
 
     key = jax.random.PRNGKey(0)
-    nrays = int(jax.jit(lambda s, x, y, k: render1(s, x, y, k)[2])(
-        scene_data, x, y, key))
+    _, n0 = f(scene_data, x, y, key, 1)               # compile + warm
+    nrays = int(n0)
 
     timed = {}
     for K in (1, K_hi):
-        f = make_k(K)
-        _ = float(f(scene_data, x, y, key))           # compile + warm
+        _ = float(f(scene_data, x, y, key, K)[0])     # warm (no compile)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            _ = float(f(scene_data, x, y, key))
+            _ = float(f(scene_data, x, y, key, K)[0])
             ts.append(time.perf_counter() - t0)
         ts.sort()
         timed[K] = ts[len(ts) // 2]
@@ -205,47 +311,56 @@ def _wait_for_device(probe_timeout=120.0):
     (jax.devices() blocks forever instead of raising).  Probe in throwaway
     subprocesses -- a hung probe can be killed and retried, whereas a hung
     jax import in THIS process would poison the cached backend for the
-    whole run.  Retries until the tunnel answers or NDT_BENCH_TUNNEL_WAIT
-    seconds (default 1800) lapse; returns '' on give-up so main() can emit
-    an explicit error record instead of stalling the driver."""
+    whole run.  Retries until the tunnel answers or the global deadline
+    nears; returns '' on give-up so main() can emit an explicit error
+    record instead of stalling the driver."""
     import subprocess
 
-    max_wait = float(os.environ.get("NDT_BENCH_TUNNEL_WAIT", "1800"))
-    deadline = time.time() + max_wait
     code = "import jax; print(jax.devices()[0].platform)"
     while True:
         try:
             p = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
-                               timeout=probe_timeout)
+                               timeout=min(probe_timeout,
+                                           max(_remaining(), 5.0)))
             if p.returncode == 0 and p.stdout.strip():
                 return p.stdout.strip().splitlines()[-1]
         except subprocess.TimeoutExpired:
             pass
-        if time.time() >= deadline:
+        if _remaining() < probe_timeout:
             return ""
-        print("bench: device tunnel unresponsive, retrying...",
-              file=sys.stderr)
+        _log("device tunnel unresponsive, retrying...")
         time.sleep(30)
 
 
 def main():
     import numpy as np
 
+    # Persistent compile cache: the megakernel compiles dominate bench
+    # wall time; cached traces make repeat runs (and the driver's
+    # end-of-round run after an in-round warmup) near-instant.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     platform = _wait_for_device()
     if not platform:
-        print(json.dumps({
-            "metric": "Mrays/s/chip (4-D balls @1080p)",
-            "value": 0.0,
-            "unit": "Mrays/s",
-            "vs_baseline": 0.0,
-            "detail": {"error": "device tunnel unresponsive: jax backend "
-                                "init hung past NDT_BENCH_TUNNEL_WAIT; no "
-                                "measurement taken"},
-        }))
+        _RESULT["detail"] = {
+            "error": "device tunnel unresponsive: jax backend init hung; "
+                     "no measurement taken"}
+        _snapshot()
         return 1
+    _log(f"device up: {platform}")
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     from ndt_tpu.render.engine import RenderOptions
 
@@ -255,50 +370,83 @@ def main():
     W, H = 1920, 1080
     sd, cam, x, y = _build("balls", 4, W, H, frame=0)
     opts = RenderOptions(width=W, height=H, samples=1, tile=x.size)
+    _log("headline scene built; measuring")
     mrays, nrays, render_s, dispatch_s = _measure(sd, cam, x, y, opts,
                                                   K_hi=16, reps=7)
+    _log(f"headline: {mrays:.1f} Mrays/s")
 
-    # end-to-end including framebuffer download through the dev tunnel
+    baseline = 100.0  # Mrays/s/chip north star (BASELINE.json)
+    detail = {
+        "rays_per_frame": nrays,
+        "seconds_per_frame_device": round(render_s, 4),
+        "harness_dispatch_overhead_s": round(dispatch_s, 4),
+        "resolution": "1920x1080",
+    }
+    _RESULT.update(value=round(mrays, 2),
+                   vs_baseline=round(mrays / baseline, 4),
+                   detail=detail)
+    _snapshot()
+
+    # ---- optional stages, each gated on the remaining budget ------------
     import jax.numpy as jnp
 
     from ndt_tpu.render.engine import gen_rays, render_rays
-    rays_fn = jax.jit(lambda s, x, y, k: render_rays(
-        s, *gen_rays(cam, x, y, k, opts, "center", False, False), k, opts))
-    t0 = time.perf_counter()
-    _ = np.asarray(rays_fn(sd, x, y, jax.random.PRNGKey(0))[0])
-    e2e_s = time.perf_counter() - t0
 
-    # pipelined end-to-end: the frame in 4 tiles, each tile's download
-    # started (copy_to_host_async) while the next tile computes -- the
-    # engine's dispatch/download overlap (engine._render_grid) measured on
-    # the exact path BENCH records (VERDICT r2 item 4).  Dispatch is async,
-    # so all 4 launches queue back-to-back and downloads ride alongside.
-    n_tiles = 4
-    tr = x.size // n_tiles
-    opts_t = RenderOptions(width=W, height=H, samples=1, tile=tr)
-    tile_fn = jax.jit(lambda s, xs, ys, k: render_rays(
-        s, *gen_rays(cam, xs, ys, k, opts_t, "center", False, False),
-        k, opts_t))
-    key0 = jax.random.PRNGKey(0)
-    _ = np.asarray(tile_fn(sd, x[:tr], y[:tr], key0)[0])   # compile + warm
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(n_tiles):
-        c, d, _n = tile_fn(sd, x[i * tr:(i + 1) * tr],
-                           y[i * tr:(i + 1) * tr],
-                           jax.random.fold_in(key0, i))
-        for a in (c, d):
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
-        outs.append((c, d))
-    _cols = [np.asarray(c) for c, _ in outs]
-    e2e_pipe_s = time.perf_counter() - t0
+    if _remaining() > 120:
+        # end-to-end including framebuffer download through the dev tunnel
+        rays_fn = jax.jit(lambda s, x, y, k: render_rays(
+            s, *gen_rays(cam, x, y, k, opts, "center", False, False),
+            k, opts))
+        t0 = time.perf_counter()
+        _ = np.asarray(rays_fn(sd, x, y, jax.random.PRNGKey(0))[0])
+        detail["seconds_incl_host_download"] = round(
+            time.perf_counter() - t0, 4)
+        _snapshot()
+        _log("e2e download timed")
+
+    if _remaining() > 180:
+        # pipelined end-to-end: the frame in 4 tiles, each tile's download
+        # started (copy_to_host_async) while the next tile computes -- the
+        # engine's dispatch/download overlap (engine._render_grid)
+        # measured on the exact path BENCH records (VERDICT r2 item 4).
+        # Dispatch is async, so all 4 launches queue back-to-back and
+        # downloads ride alongside.
+        n_tiles = 4
+        tr = x.size // n_tiles
+        opts_t = RenderOptions(width=W, height=H, samples=1, tile=tr)
+        tile_fn = jax.jit(lambda s, xs, ys, k: render_rays(
+            s, *gen_rays(cam, xs, ys, k, opts_t, "center", False, False),
+            k, opts_t))
+        key0 = jax.random.PRNGKey(0)
+        _ = np.asarray(tile_fn(sd, x[:tr], y[:tr], key0)[0])  # compile
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(n_tiles):
+            c, d, _n = tile_fn(sd, x[i * tr:(i + 1) * tr],
+                               y[i * tr:(i + 1) * tr],
+                               jax.random.fold_in(key0, i))
+            for a in (c, d):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            outs.append((c, d))
+        _cols = [np.asarray(c) for c, _ in outs]
+        detail["seconds_incl_host_download_pipelined_4tile"] = round(
+            time.perf_counter() - t0, 4)
+        _snapshot()
+        _log("pipelined path timed")
 
     # measured VPU f32 peak + per-config useful-FLOP estimate (see
     # _vpu_peak_gflops / _est_useful_flops_per_ray)
-    vpu_peak = _vpu_peak_gflops()
+    vpu_peak = 0.0
+    if _remaining() > 90:
+        vpu_peak = _vpu_peak_gflops()
+        detail["vpu_peak_gflops_measured"] = round(vpu_peak, 1)
+        _snapshot()
+        _log(f"vpu peak: {vpu_peak:.0f} GFLOP/s")
 
     def _util(sdc, camc, oc, xc, yc, n, rs):
+        if vpu_peak <= 0 or _remaining() < 60:
+            return {"est_util_skipped": "deadline"}
         try:
             op, vp = jax.jit(lambda xs, ys, k: gen_rays(
                 camc, xs, ys, k, oc, "center", False, False))(
@@ -310,9 +458,12 @@ def main():
         except Exception as e:
             return {"est_util_error": f"{type(e).__name__}: {e}"[:200]}
 
-    util1 = _util(sd, cam, opts, x, y, nrays, render_s)
+    if _remaining() > 120:
+        detail.update(_util(sd, cam, opts, x, y, nrays, render_s))
+        _snapshot()
 
     configs = {}
+    detail["configs"] = configs
     if not only1:
         specs = [
             # (name, scene, dim, W, H, frame, config, sharded)
@@ -327,7 +478,11 @@ def main():
             ("random600_5d", "random", 5, 640, 480, 0, "600", False),
         ]
         for name, key_, dim, w, h, fr, cfg, sh in specs:
+            if _remaining() < 150:
+                configs[name] = {"skipped": "deadline"}
+                continue
             try:
+                _log(f"config {name}: building")
                 sdc, camc, xc, yc = _build(key_, dim, w, h, frame=fr,
                                            config=cfg)
                 oc = RenderOptions(width=w, height=h, samples=1,
@@ -341,14 +496,16 @@ def main():
                     "resolution": f"{w}x{h}",
                     **_util(sdc, camc, oc, xc, yc, n, rs),
                 }
+                _log(f"config {name}: {m:.2f} Mrays/s")
             except Exception as e:  # record, never sink the headline
                 configs[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            _snapshot()
 
     # C reference binary (-O3 -t 1) on the SAME configs, measured once on
     # this dev host's single vCPU 2026-08-18 (the reference publishes no
     # numbers; see BASELINE.md and docs/ARCHITECTURE.md section 10) --
     # static context for detail.configs' seconds_per_frame_device
-    c_ref_s_per_frame = {
+    detail["c_reference_s_per_frame_1core_static"] = {
         "balls_1080p_headline": 13.16,
         "hypercube": 2.11,
         "hypercube_walls": 7.41,
@@ -357,28 +514,21 @@ def main():
         "anim6d_sharded": 10.27,
         "random600_5d": 1332.48,
     }
+    detail["bench_wall_s"] = round(time.time() - _T0, 1)
 
-    baseline = 100.0  # Mrays/s/chip north star (BASELINE.json)
-    print(json.dumps({
-        "metric": "Mrays/s/chip (4-D balls @1080p)",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / baseline, 4),
-        "detail": {
-            "rays_per_frame": nrays,
-            "seconds_per_frame_device": round(render_s, 4),
-            "harness_dispatch_overhead_s": round(dispatch_s, 4),
-            "seconds_incl_host_download": round(e2e_s, 4),
-            "seconds_incl_host_download_pipelined_4tile": round(
-                e2e_pipe_s, 4),
-            "vpu_peak_gflops_measured": round(vpu_peak, 1),
-            **util1,
-            "resolution": "1920x1080",
-            "configs": configs,
-            "c_reference_s_per_frame_1core_static": c_ref_s_per_frame,
-        },
-    }))
+    _snapshot()
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("NDT_BENCH_WORKER") != "1":
+        sys.exit(_coordinator())
+    try:
+        rc = main()
+    except Exception as e:
+        _RESULT.setdefault("detail", {})["status"] = (
+            f"exception at t+{time.time() - _T0:.0f}s: "
+            f"{type(e).__name__}: {e}"[:300])
+        _snapshot()
+        raise
+    sys.exit(rc)

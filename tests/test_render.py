@@ -60,6 +60,11 @@ def test_balls_full_frame_matches_c_golden():
     isolated knife-edge pixels flip winners vs the C's doubles (measured
     frame RMSE 4.4e-4, still under the band threshold), which would force
     a loose per-pixel bound here."""
+    # the pixel-exact bounds below require real float64 compute; without
+    # conftest's jax_enable_x64 JAX silently downcasts and the tolerances
+    # fail with no hint why (ADVICE r3) -- fail explicitly instead
+    assert jax.config.jax_enable_x64, \
+        "jax_enable_x64 is off: f64 golden bounds need conftest's x64 config"
     rows = slice(0, 480)
     mine, ref = _band_render("balls", 1500, "balls_4d_640x480_f0.png", rows,
                              dtype="float64")
