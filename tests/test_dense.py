@@ -110,6 +110,51 @@ def test_dense_random400_pallas_matches_jnp():
     assert (mp[agree] == mj[agree]).mean() > 0.999
 
 
+def test_box_cull_conservative_random_dirs():
+    """The geometry-AABB tile cull (pallas_trace.cull_lists params[16])
+    must stay conservative for INCOHERENT tiles -- bounce batches whose
+    direction intervals span zero in several dims, where the slab hulls
+    degrade to +-BIG and only the never-enters refinement may prune.
+    Random origins (inside and outside the cluster) and uniform random
+    directions against a multi-chunk random scene: the megakernel
+    (interpret, culls active) and the jnp reference (no tile culls) must
+    agree on every closest hit."""
+    from ndt_tpu.render import trace as trace_mod
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mod = get_scene("random")
+        scn = Scene("random", 5)
+        mod.scene_setup(scn, 5, 0, 300, "300")
+        scn.cam.aim()
+        sd = compile_scene(scn, np.float32)
+
+    rng = np.random.RandomState(7)
+    R = 4096
+    o_in = rng.uniform(0.0, 14.0, (R // 2, 5))      # inside the cluster
+    o_out = rng.uniform(-40.0, 50.0, (R // 2, 5))   # far outside too
+    o = np.concatenate([o_in, o_out]).astype(np.float32)
+    v = rng.normal(size=(R, 5))
+    v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    o, v = jnp.asarray(o), jnp.asarray(v)
+
+    trace_mod.set_trace_impl("pallas-interpret")
+    try:
+        hp, tp, mp = _trace_hits(sd, o, v)
+    finally:
+        trace_mod.set_trace_impl("jnp")
+    try:
+        hj, tj, mj = _trace_hits(sd, o, v)
+    finally:
+        trace_mod.set_trace_impl("auto")
+
+    assert hj.mean() > 0.1                          # hits actually happen
+    assert (hp == hj).mean() > 0.999
+    agree = hp & hj
+    np.testing.assert_allclose(tp[agree], tj[agree], rtol=2e-4, atol=2e-3)
+    assert (mp[agree] == mj[agree]).mean() > 0.999
+
+
 @pytest.mark.slow
 def test_dense_random600_sandwich_anchors_to_c_golden():
     """Anchor the >_KD_EXACT_MAX fallback regime to the C binary itself
