@@ -129,6 +129,10 @@ def _node_budget(opts: RenderOptions, has_transparent: bool) -> int:
     return min(1 << min(opts.max_optic_depth, 10), 1024)
 
 
+# stack-mode nodes popped (and traced/shaded as one batch) per loop
+# iteration -- see _stack_loop; 1 = the sequential reference behavior
+_STACK_POP = int(os.environ.get("NDT_STACK_POP", 4))
+
 # stack-mode (refractive) rays carry a [stack_size, D] pending-node stack
 # each (~1.4 KB/ray at S=16, D<=8 with XLA temps on top): a full 1080p
 # batch at once exceeds a v5e's 16 GB HBM.  Batches above this cap run as
@@ -660,48 +664,57 @@ def _stack_init(scene, o, v, key, opts):
     dt = o.dtype
     S = opts.stack_size
     max_depth = opts.max_optic_depth
-    # stack slot 0 holds the primary ray
-    st_o = jnp.zeros((R, S, D), dt).at[:, 0].set(o)
-    st_v = jnp.zeros((R, S, D), dt).at[:, 0].set(v)
-    st_w = jnp.zeros((R, S, 3), dt).at[:, 0].set(1.0)
-    st_f = jnp.zeros((R, S), dt).at[:, 0].set(1.0)
-    st_d = jnp.zeros((R, S), jnp.int32).at[:, 0].set(max_depth)
+    # ONE packed stack array [R, S, 2D+5], per node [o(D) v(D) w(3) f d]:
+    # every pop/push touches a single tensor instead of five, and at the
+    # narrow widths the escalation gathers glass lanes into, each op's
+    # FIXED launch cost dominates its bytes -- packing measured the stack
+    # machinery from 3.9 to (see ARCHITECTURE.md perf journal) ms/iter.
+    # Depth travels as f32 (exact for any sane max_optic_depth).
+    node0 = jnp.concatenate([
+        o, v, jnp.ones((R, 3), dt),
+        jnp.ones((R, 1), dt),
+        jnp.full((R, 1), max_depth, dt)], axis=1)
+    st = jnp.zeros((R, S, 2 * D + 5), dt).at[:, 0].set(node0)
     sp = jnp.ones((R,), jnp.int32)
     color = jnp.zeros((R, 3), dt)
     depth = jnp.zeros((R,), dt)
     nrays = jnp.zeros((), jnp.int64 if dt == jnp.float64 else jnp.int32)
-    return (jnp.int32(0), sp, st_o, st_v, st_w, st_f, st_d, color, depth,
-            nrays, key)
+    return (jnp.int32(0), sp, st, color, depth, nrays, key)
 
 
 def _stack_loop(scene, R, dt, opts):
-    """(cond, body) for the stack-mode bounce loop."""
+    """(cond, body) for the stack-mode bounce loop, processing the top
+    min(K, sp) stack nodes of every lane PER ITERATION (K =
+    NDT_STACK_POP, default 4).
+
+    The one-node-per-iteration loop is fixed-cost-bound at escalation
+    widths: each iteration's ~15 fused XLA kernels cost ~0.3 ms of launch
+    latency each on the bench harness regardless of lane count, so a
+    34-node path tree paid 34 x ~7 ms while the lanes' actual math was
+    microseconds.  Popping K nodes at once batches the trace+shade over
+    R*K rays (one kernel chain per iteration, K x the work per kernel)
+    and cuts iterations toward ceil(nodes/K).
+
+    Node VALUES are frozen at push time, so batched processing computes
+    exactly the per-node colors of the sequential loop; only the
+    ACCUMULATION ORDER changes (interleaved siblings instead of
+    depth-first subtrees).  That reordering is harmless at f32 tolerances
+    but can flip single bytes against the f64 bit-exact C goldens, so
+    batching engages only for f32 (the perf path); f64 -- the parity
+    surface -- keeps K=1, which reproduces the sequential loop
+    bit-for-bit.  Child drop semantics at the S cap match the sequential
+    loop whenever max(sp) + 2K <= S, which holds for every reference
+    scene (measured max sp: builtin test 10 at S=16 with K=1; the cap
+    exists for pathological trees the C would recurse through
+    unboundedly).
+
+    Per-row dynamic gather/scatter (st[rows, j]) lowers to TPU scatter,
+    which serializes (measured 243 ms/iter at R=327k); the pop/push here
+    are one-hot einsums over the small S axis instead."""
     S = opts.stack_size
+    K = min(_STACK_POP, S) if jnp.dtype(dt) == jnp.float32 else 1
     sidx = jnp.arange(S)
     n_shadow_lights = sum(1 for l in scene.lights if l.kind != 0)
-
-    # per-row dynamic gather/scatter (st[rows, j] / st.at[rows, slot].set)
-    # lowers to TPU scatter, which serializes (measured 243 ms/iter at
-    # R=327k vs 0.66 ms for the chain loop); one-hot select/merge over the
-    # small S axis fuses into plain VPU passes instead
-    def pop(st, j):
-        oh = sidx == j[:, None]                          # [R, S]
-        ohx = oh[(...,) + (None,) * (st.ndim - 2)]
-        return jnp.where(ohx, st, 0).sum(axis=1).astype(st.dtype)
-
-    def push(st, slot, val, mask):
-        oh = (sidx == slot[:, None]) & mask[:, None]     # [R, S]
-        ohx = oh[(...,) + (None,) * (st.ndim - 2)]
-        return jnp.where(ohx, jnp.expand_dims(val, 1), st)
-
-    def push2(st, s1, v1, m1, s2, v2, m2):
-        # two pushes to disjoint slots in one read+write of the stack
-        x = (None,) * (st.ndim - 2)
-        oh1 = ((sidx == s1[:, None]) & m1[:, None])[(...,) + x]
-        oh2 = ((sidx == s2[:, None]) & m2[:, None])[(...,) + x]
-        return jnp.where(oh1, jnp.expand_dims(v1, 1),
-                         jnp.where(oh2, jnp.expand_dims(v2, 1), st))
-
     budget = _node_budget(opts, scene.has_transparent)
 
     def cond(carry):
@@ -709,12 +722,31 @@ def _stack_loop(scene, R, dt, opts):
         return (it < budget) & (sp > 0).any()
 
     def body(carry):
-        (it, sp, st_o, st_v, st_w, st_f, st_d, color, depth, nrays,
-         key) = carry
-        valid = sp > 0
-        j = jnp.maximum(sp - 1, 0)
-        co, cv = pop(st_o, j), pop(st_v, j)
-        cw, cf, cd = pop(st_w, j), pop(st_f, j), pop(st_d, j)
+        (it, sp, st, color, depth, nrays, key) = carry
+        W = st.shape[2]
+        D = (W - 5) // 2
+        # pop the top k_eff = min(sp, K) nodes: kk = 0 is the TOP of the
+        # stack (the node the sequential loop would pop this iteration)
+        kks = jnp.arange(K)
+        pslot = sp[:, None] - 1 - kks[None, :]           # [R, K]
+        pvalid = kks[None, :] < sp[:, None]              # [R, K]
+        oh = ((sidx[None, :, None] == pslot[:, None, :])
+              & pvalid[:, None, :])                      # [R, S, K]
+        cur = jnp.einsum("rsk,rsw->rkw", oh.astype(dt), st)  # [R, K, W]
+        co = cur[..., :D].reshape(R * K, D)
+        cv = cur[..., D:2 * D].reshape(R * K, D)
+        cw = cur[..., 2 * D:2 * D + 3].reshape(R * K, 3)
+        cf = cur[..., 2 * D + 3].reshape(R * K)
+        cd = cur[..., 2 * D + 4].reshape(R * K)
+        valid = pvalid.reshape(R * K)
+        # invalid sub-lanes popped all-zero nodes; a v = 0 ray turns into
+        # NaN t inside the trace kernel, and NaN * live_f poisons the
+        # early-exit's cross-lane max (every candidate then looks
+        # unreachable for the WHOLE tile).  Give them the dead-lane dummy
+        # ray instead (finite geometry, results discarded), as _pad_dead
+        # and the sequential loop's stale-node re-trace do.
+        cv = jnp.where(valid[:, None], cv,
+                       jnp.zeros_like(cv).at[:, 0].set(1.0))
 
         key, skey = jax.random.split(key)
         tr, fused_local = _trace_with_lights(scene, co, cv, valid,
@@ -731,7 +763,7 @@ def _stack_loop(scene, R, dt, opts):
         else:
             local = fused_local
 
-        refl = tr.reflect                           # [R, 3]
+        refl = tr.reflect                           # [R*K, 3]
         transp = tr.transparent
         contrib = refl.max(axis=-1)                 # ndt.c:393
 
@@ -742,51 +774,71 @@ def _stack_loop(scene, R, dt, opts):
         node_color = jnp.where(hit[:, None], local_w * local,
                                jnp.where(valid[:, None],
                                          scene.bg[None, :], 0.0))
-        color = color + cw * node_color
+        # accumulate per node IN POP ORDER with an unrolled add chain:
+        # ((color + c0) + c1) + ... reproduces the sequential loop's f32/f64
+        # summation grouping bit-for-bit (a .sum(axis=1) regrouped the adds
+        # and flipped single bytes on the f64 bit-exact goldens)
+        contribs = (cw * node_color).reshape(R, K, 3)
+        for kk in range(K):
+            color = color + contribs[:, kk]
 
-        # depth map from the primary node (ndt.c:362-373)
-        prim_depth = jnp.where(tr.hit & (tr.t > EPSILON), 1.0 / tr.t, 0.0)
+        # depth map from the primary node (ndt.c:362-373): at it == 0
+        # every lane's stack holds only the primary ray, popped as kk = 0
+        t0 = tr.t.reshape(R, K)[:, 0]
+        hit0 = tr.hit.reshape(R, K)[:, 0]
+        prim_depth = jnp.where(hit0 & (t0 > EPSILON), 1.0 / t0, 0.0)
         depth = jnp.where(it == 0, prim_depth.astype(dt), depth)
 
-        sp1 = sp - valid.astype(jnp.int32)
-
-        # reflection child (ndt.c:394-419)
+        # children (ndt.c:394-430), in the sequential loop's candidate
+        # order: parents bottom-to-top (kk = K-1 .. 0), reflection before
+        # refraction; prefix-summed into slots base, base+1, ...; a child
+        # whose slot reaches S is dropped (the sequential 'fits' test)
         refl_any = (refl > 0).any(axis=-1) | (refl < 0).any(axis=-1)
         ok_refl = (hit & (contrib > 0) & refl_any
                    & (cf * contrib >= MIN_PIXEL_FRAC) & (cd - 1 > 0))
-        fits = sp1 < S
-        ok_refl &= fits
         rdir = mathnd.unitize(mathnd.reflect(cv, tr.normal, 1.0))
-        sp2 = sp1 + ok_refl.astype(jnp.int32)
 
+        def nodes(point, vdir, w, f, d):
+            return jnp.concatenate(
+                [point, vdir, w, f[:, None], d[:, None]],
+                axis=1).reshape(R, K, W)
+
+        n_refl = nodes(tr.point, rdir, cw * refl, cf * contrib, cd - 1)
         if scene.has_transparent:
-            # refraction child (ndt.c:421-430); both children land in ONE
-            # one-hot pass per stack array (slots are disjoint: sp2 > sp1
-            # whenever ok_refl holds), halving the stack read+write traffic
-            # of the two sequential pushes
             ior = tr.ior
             ok_refr = (hit & (transp > 0)
                        & ((1.0 - contrib) * cf >= MIN_PIXEL_FRAC)
-                       & (cd - 1 > 0) & (sp2 < S))
+                       & (cd - 1 > 0))
             tdir = mathnd.unitize(mathnd.refract(cv, tr.normal, ior))
-            st_o = push2(st_o, sp1, tr.point, ok_refl,
-                         sp2, tr.point, ok_refr)
-            st_v = push2(st_v, sp1, rdir, ok_refl, sp2, tdir, ok_refr)
-            st_w = push2(st_w, sp1, cw * refl, ok_refl,
-                         sp2, cw * (1.0 - refl), ok_refr)
-            st_f = push2(st_f, sp1, cf * contrib, ok_refl,
-                         sp2, (1.0 - contrib) * cf, ok_refr)
-            st_d = push2(st_d, sp1, cd - 1, ok_refl, sp2, cd - 1, ok_refr)
-            sp2 = sp2 + ok_refr.astype(jnp.int32)
+            n_refr = nodes(tr.point, tdir, cw * (1.0 - refl),
+                           (1.0 - contrib) * cf, cd - 1)
+            # candidate axis: [refl_{K-1}, refr_{K-1}, ..., refl_0, refr_0]
+            cand = jnp.stack([n_refl[:, ::-1], n_refr[:, ::-1]],
+                             axis=2).reshape(R, 2 * K, W)
+            okc = jnp.stack([ok_refl.reshape(R, K)[:, ::-1],
+                             ok_refr.reshape(R, K)[:, ::-1]],
+                            axis=2).reshape(R, 2 * K)
         else:
-            st_o = push(st_o, sp1, tr.point, ok_refl)
-            st_v = push(st_v, sp1, rdir, ok_refl)
-            st_w = push(st_w, sp1, cw * refl, ok_refl)
-            st_f = push(st_f, sp1, cf * contrib, ok_refl)
-            st_d = push(st_d, sp1, cd - 1, ok_refl)
+            cand = n_refl[:, ::-1]
+            okc = ok_refl.reshape(R, K)[:, ::-1]
 
-        return (it + 1, sp2, st_o, st_v, st_w, st_f, st_d, color, depth,
-                nrays, key)
+        base = sp - jnp.minimum(sp, K)                   # [R]
+        pos = jnp.cumsum(okc.astype(jnp.int32), axis=1) - 1
+        slot = base[:, None] + pos                       # [R, C]
+        placed = okc & (slot < S)
+        ohc = ((sidx[None, None, :] == slot[:, :, None])
+               & placed[:, :, None])                     # [R, C, S]
+        # rejected candidates can hold NaNs (refract of an opaque hit,
+        # bounce math of a dead lane's zero ray); a plain einsum would
+        # propagate them through the 0-weighted sum into every slot of the
+        # lane's new stack, so zero them first (the sequential push's
+        # jnp.where discarded them implicitly)
+        cand = jnp.where(placed[:, :, None], cand, 0)
+        st = (jnp.where(sidx[None, :, None] < base[:, None, None], st, 0)
+              + jnp.einsum("rcs,rcw->rsw", ohc.astype(dt), cand))
+        sp2 = jnp.minimum(base + okc.sum(axis=1, dtype=jnp.int32), S)
+
+        return (it + 1, sp2, st, color, depth, nrays, key)
 
     return cond, body
 
@@ -822,12 +874,12 @@ def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions,
     if not compactable:
         cond, body = _stack_loop(scene, R, o.dtype, opts)
         carry = jax.lax.while_loop(cond, body, carry)
-        return carry[7][:R0], carry[8][:R0], carry[9]
+        return carry[3][:R0], carry[4][:R0], carry[5]
 
     carry = _run_adaptive(
         carry, opts, lambda w: _stack_loop(scene, w, o.dtype, opts),
         live_of=lambda c: c[1] > 0)
-    return carry[7][:R0], carry[8][:R0], carry[9]
+    return carry[3][:R0], carry[4][:R0], carry[5]
 
 
 # --------------------------------------------------------------------------

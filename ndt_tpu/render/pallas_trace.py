@@ -557,14 +557,23 @@ N_KERNEL_TABLES = 16  # params[:16] feed the kernels; [16] is the cull AABB
 
 
 def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
-                 has_init: bool = False):
+                 has_init: bool = False, accum: bool = False):
     """mode: 'closest' | 'any' | 'shadow'.
 
     ``has_init``: the winner state (t/mat[/normal/props]) of the PREVIOUS
     scene chunk arrives as extra VMEM inputs and seeds the running winner,
     so the front-to-back early exit of chunk k prunes against the best hit
     of chunks 0..k-1 (the TPU analogue of threading ``*t_ptr`` through the
-    C's kd traversal, kd-tree.c:541-556) instead of starting from BIG."""
+    C's kd traversal, kd-tree.c:541-556) instead of starting from BIG.
+
+    ``accum`` (pallas_trace_grouped): the grid is (n_tiles, n_chunks) with
+    the CHUNK axis fastest, so for a fixed tile the output blocks are
+    revisited across consecutive chunk steps and the winner accumulates in
+    the output VMEM window itself: chunk step c > 0 seeds its state from
+    the out refs (what step c-1 wrote); step c == 0 seeds from the init
+    refs (if has_init, the previous GROUP's winner) or from BIG/-1.  One
+    kernel launch replaces the per-chunk launch chain, whose serialized
+    launch latency dominates narrow-batch (stack-phase) iterations."""
     early = _use_early_exit(meta, interpret)
     D = meta.dim
     A = meta.a_quad
@@ -584,6 +593,13 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
                 ti_ref, mi_ref = rest[:2]
                 rest = rest[2:]
         out_refs = rest
+        if accum:
+            # chunk-grid accumulation: state = init (first chunk step) or
+            # the out window (later steps; same VMEM block, revisited)
+            first_chunk = pl.program_id(1) == 0
+
+            def seeded(init_val, out_val):
+                return jnp.where(first_chunk, init_val, out_val)
         o = [o_ref[d] for d in range(D)]       # each (RT//LANE, LANE)
         v = [v_ref[d] for d in range(D)]
         shape = o[0].shape
@@ -639,6 +655,10 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
 
         if mode in ("closest", "any"):
             excl = aux_ref[0]                  # excluded MATERIAL id tile
+            if mode == "closest":
+                t_ref, m_ref, n_ref, p_ref = out_refs
+            else:
+                t_ref, m_ref = out_refs
             if has_init:
                 t1 = ti_ref[0]
                 m1 = mi_ref[0]
@@ -649,6 +669,11 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
                 m1 = jnp.full(shape, -1, jnp.int32)
                 if want_normal:
                     n1 = [jnp.zeros(shape, jnp.float32) for _ in range(D)]
+            if accum:
+                t1 = seeded(t1, t_ref[0])
+                m1 = seeded(m1, m_ref[0])
+                if want_normal:
+                    n1 = [seeded(n1[d], n_ref[d]) for d in range(D)]
             state = {}
 
             def visit(count, gid0, ev, row, sz):
@@ -735,10 +760,6 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
                 state["n1"] = n1
             families(visit)
 
-            if mode == "closest":
-                t_ref, m_ref, n_ref, p_ref = out_refs
-            else:
-                t_ref, m_ref = out_refs
             t_ref[...] = state["t1"][None]
             m_ref[...] = state["m1"][None]
             if mode == "closest":
@@ -751,11 +772,14 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
                 # the winner is always on the cull list, so dead/culled
                 # materials never need a pass
                 if has_init:
-                    pstate = {"p": tuple(pi_ref[j]
-                                         for j in range(N_PROPS))}
+                    p0 = tuple(pi_ref[j] for j in range(N_PROPS))
                 else:
-                    pstate = {"p": tuple(jnp.zeros(shape, jnp.float32)
-                                         for _ in range(N_PROPS))}
+                    p0 = tuple(jnp.zeros(shape, jnp.float32)
+                               for _ in range(N_PROPS))
+                if accum:
+                    p0 = tuple(seeded(p0[j], p_ref[j])
+                               for j in range(N_PROPS))
+                pstate = {"p": p0}
 
                 def vprop(count, gid0, ev, row, sz):
                     def body(k, props):
@@ -783,6 +807,7 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
 
             # pass 2: min over finite objects + infinite objects with
             # rank <= first_rank
+            t_ref, m_ref = out_refs
             if has_init:
                 # chunk 0 carries every infinite leaf, so threaded chunks
                 # k>0 are finite-only and seed from chunk k-1's winner
@@ -790,6 +815,9 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
             else:
                 st = {"t1": jnp.full(shape, BIG, jnp.float32),
                       "m1": jnp.full(shape, -1, jnp.int32)}
+            if accum:
+                st = {"t1": seeded(st["t1"], t_ref[0]),
+                      "m1": seeded(st["m1"], m_ref[0])}
 
             # a winner farther than limit + margin can never pass the
             # downstream same-point-within-EPSILON test (ndt.c:217-228), so
@@ -843,7 +871,6 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
                 st["t1"], st["m1"] = out
 
             families(visit2)
-            t_ref, m_ref = out_refs
             t_ref[...] = st["t1"][None]
             m_ref[...] = st["m1"][None]
 
@@ -1758,6 +1785,139 @@ def pallas_trace(params, o, v, aux, meta: PallasMeta, mode: str = "closest",
         interpret=interpret,
     )(*params[:N_KERNEL_TABLES], lists, counts, reach, live_t, o_t, v_t,
       aux_t, *init_in)
+
+    t = outs[0].reshape(R)
+    mat = outs[1].reshape(R)
+    if mode == "closest":
+        nrm = outs[2][:D].reshape(D, R).T
+        props = outs[3].reshape(N_PROPS, R).T
+        return t, mat, nrm, props
+    return t, mat, None, None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "meta", "mode", "interpret"))
+def pallas_trace_grouped(params, m, o, v, aux, meta: PallasMeta,
+                         mode: str = "closest", interpret: bool = False,
+                         live=None, init=None):
+    """pallas_trace over ``m`` scene chunks SHARING one meta, as a single
+    kernel launch with grid (n_tiles, m): the chunk axis iterates fastest,
+    so for each ray tile the winner accumulates in the revisited output
+    VMEM window across consecutive chunk steps (see _make_kernel's
+    ``accum``).  Replaces the per-chunk launch chain whose serialized
+    launch latency dominated narrow (stack-phase) batches: one closest
+    trace of a 6-chunk scene is 1 launch instead of 6.
+
+    ``params``: the 17 pack_params tables, each stacked to a leading
+    [m, ...] chunk axis (compile._pack_chunked builds these).  Chunk ORDER
+    inside the group is preserved by the grid iteration, so equal-t ties
+    keep resolving to the earlier chunk, bit-identically to the
+    sequential-call path.  ``init`` seeds chunk step 0 (the previous
+    GROUP's winner), exactly like pallas_trace's ``init``."""
+    R, D = o.shape
+    assert R % RT == 0, R
+    o_t = _to_tiles(o, R)
+    v_t = _to_tiles(v, R)
+    aux_t = aux.reshape(1, R // LANE, LANE)
+
+    kernel = _make_kernel(meta, mode, interpret,
+                          has_init=init is not None, accum=True)
+    n_tiles = R // RT
+    grid = (n_tiles, m)
+    rows = RT // LANE
+
+    def smem_tab(tab):
+        # tables arrive [m, 1, L] (compile._group_chunks); squeezing the
+        # chunk and singleton axes leaves the 1-D per-chunk ref the kernel
+        # body indexes, while the block's last-two dims (1, L) equal the
+        # array's, satisfying Mosaic's SMEM block rule
+        return pl.BlockSpec((None, None, tab.shape[2]),
+                            lambda i, c: (c, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    ray_spec = pl.BlockSpec((D_PAD, rows, LANE), lambda i, c: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    aux_spec = pl.BlockSpec((1, rows, LANE), lambda i, c: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out1_spec = pl.BlockSpec((1, rows, LANE), lambda i, c: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    props_spec = pl.BlockSpec((N_PROPS, rows, LANE), lambda i, c: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+
+    shapes = {
+        "closest": (
+            [out1_spec, out1_spec, ray_spec, props_spec],
+            [jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.int32),
+             jax.ShapeDtypeStruct((D_PAD, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((N_PROPS, R // LANE, LANE), jnp.float32)]),
+        "any": (
+            [out1_spec, out1_spec],
+            [jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.int32)]),
+        "shadow": (
+            [out1_spec, out1_spec],
+            [jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.float32),
+             jax.ShapeDtypeStruct((1, R // LANE, LANE), jnp.int32)]),
+    }
+    out_specs, out_shape = shapes[mode]
+
+    n_total = max(meta.n_sph + meta.n_pln + meta.n_quad + meta.n_fct
+                  + meta.n_hf, 1)
+    ee = _use_early_exit(meta, interpret)
+    lists_c, counts_c, reach_c = [], [], []
+    for ci in range(m):
+        p_c = tuple(t[ci] for t in params)
+        if ee:
+            l, cnt, rch = cull_lists(
+                p_c, o, v, meta, live,
+                limit=aux if mode == "shadow" else None, want_reach=True)
+        else:
+            l, cnt = cull_lists(
+                p_c, o, v, meta, live,
+                limit=aux if mode == "shadow" else None)
+            rch = jnp.zeros(l.shape, jnp.float32)
+        lists_c.append(l)
+        counts_c.append(cnt)
+        reach_c.append(rch)
+    lists = jnp.stack(lists_c)[:, :, None, :]      # [m, n_tiles, 1, n_tot]
+    counts = jnp.stack(counts_c)[:, :, None, :]
+    reach = jnp.stack(reach_c)[:, :, None, :]
+    if live is None:
+        live_t = jnp.ones((1, R // LANE, LANE), jnp.float32)
+    else:
+        live_t = live.astype(jnp.float32).reshape(1, R // LANE, LANE)
+    list_spec = pl.BlockSpec((None, 1, 1, n_total),
+                             lambda i, c: (c, i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec((None, 1, 1, N_FAMS),
+                            lambda i, c: (c, i, 0, 0),
+                            memory_space=pltpu.SMEM)
+    reach_spec = pl.BlockSpec((None, 1, 1, n_total),
+                              lambda i, c: (c, i, 0, 0),
+                              memory_space=pltpu.SMEM)
+    init_in, init_spec = [], []
+    if init is not None:
+        ti, mi = init[0], init[1]
+        init_in = [ti.reshape(1, R // LANE, LANE),
+                   mi.astype(jnp.int32).reshape(1, R // LANE, LANE)]
+        init_spec = [out1_spec, out1_spec]
+        if mode == "closest":
+            init_in += [_to_tiles(init[2], R),
+                        init[3].T.reshape(N_PROPS, R // LANE, LANE)]
+            init_spec += [ray_spec, props_spec]
+    tab_in = [params[t] for t in range(N_KERNEL_TABLES)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([smem_tab(t) for t in tab_in]
+                  + [list_spec, cnt_spec, reach_spec,
+                     aux_spec, ray_spec, ray_spec, aux_spec]
+                  + init_spec),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*tab_in, lists, counts, reach, live_t, o_t, v_t, aux_t, *init_in)
 
     t = outs[0].reshape(R)
     mat = outs[1].reshape(R)

@@ -340,17 +340,31 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
     # analogue of the C threading *t_ptr through kd traversal,
     # kd-tree.c:541-556); see compile._pack_chunked for the spatial
     # chunk partition that makes the per-tile chunk culls fire
+    from ndt_tpu.render.pallas_trace import pallas_trace_grouped
+
+    if scene.pgroups_meta is None:       # SceneData from an older pack
+        groups = tuple(((m, 1), tuple(tb[None, None] for tb in tabs))
+                       for m, tabs in zip(scene.pmeta, scene.ptables))
+    else:
+        groups = tuple(zip(scene.pgroups_meta, scene.pgroups))
     t = mat = nrm = props = None
-    for meta_c, tables_c in zip(scene.pmeta, scene.ptables):
+    for (meta_g, m_g), tables_g in groups:
         if t is None:
             init = None
         elif kmode == "closest":
             init = (t, mat, nrm, props)
         else:
             init = (t, mat)
-        t, mat, nrm, props = pallas_trace(
-            tables_c, o_p, v_p, aux, meta_c, kmode,
-            interpret=(mode == "interpret"), live=live_p, init=init)
+        if m_g == 1:
+            t, mat, nrm, props = pallas_trace(
+                tuple(tb[0, 0] for tb in tables_g), o_p, v_p, aux, meta_g,
+                kmode, interpret=(mode == "interpret"), live=live_p,
+                init=init)
+        else:
+            # all same-meta chunks in ONE launch, chunk axis on the grid
+            t, mat, nrm, props = pallas_trace_grouped(
+                tables_g, m_g, o_p, v_p, aux, meta_g, kmode,
+                interpret=(mode == "interpret"), live=live_p, init=init)
     t, mat = t[:R], mat[:R]
     nrm = nrm[:R] if nrm is not None else None
     if props is not None:
@@ -383,12 +397,25 @@ def _pallas_shadow(scene, o, v, limit, mode, live=None):
     # shadow-mode rank truncation is complete; finite-only chunks k>0 seed
     # their running winner from chunk k-1's (init=) and merge as plain
     # closest hits with cross-chunk early-exit pruning
+    from ndt_tpu.render.pallas_trace import pallas_trace_grouped
+
+    if scene.pgroups_meta is None:       # SceneData from an older pack
+        groups = tuple(((m, 1), tuple(tb[None, None] for tb in tabs))
+                       for m, tabs in zip(scene.pmeta, scene.ptables))
+    else:
+        groups = tuple(zip(scene.pgroups_meta, scene.pgroups))
     t = mat = None
-    for meta_c, tables_c in zip(scene.pmeta, scene.ptables):
-        t, mat, _, _ = pallas_trace(
-            tables_c, o_p, v_p, aux, meta_c, "shadow",
-            interpret=(mode == "interpret"), live=live_p,
-            init=None if t is None else (t, mat))
+    for (meta_g, m_g), tables_g in groups:
+        init = None if t is None else (t, mat)
+        if m_g == 1:
+            t, mat, _, _ = pallas_trace(
+                tuple(tb[0, 0] for tb in tables_g), o_p, v_p, aux, meta_g,
+                "shadow", interpret=(mode == "interpret"), live=live_p,
+                init=init)
+        else:
+            t, mat, _, _ = pallas_trace_grouped(
+                tables_g, m_g, o_p, v_p, aux, meta_g, "shadow",
+                interpret=(mode == "interpret"), live=live_p, init=init)
     t, mat = t[:R], mat[:R]
     hit = t < BIG * 0.5
     mat = jnp.where(hit, mat, -1)

@@ -186,6 +186,12 @@ class SceneData:
     # meta + packed SMEM parameter tables (render/pallas_trace.py)
     pmeta: object = struct.field(pytree_node=False, default=None)
     ptables: tuple = ()
+    # chunk GROUPS for the single-launch multi-chunk kernel
+    # (pallas_trace_grouped): consecutive chunks sharing one PallasMeta,
+    # their tables stacked along a leading chunk axis.  pgroups_meta is
+    # ((meta, m), ...) static; pgroups the matching stacked-table tuples.
+    pgroups_meta: object = struct.field(pytree_node=False, default=None)
+    pgroups: tuple = ()
 
     @property
     def blocks(self):
@@ -775,8 +781,35 @@ def compile_scene(scene: Scene, dtype=np.float32) -> SceneData:
 
     if dt == np.float32:
         pmeta, ptables = _pack_chunked(sd)
-        sd = sd.replace(pmeta=pmeta, ptables=ptables)
+        gmeta, gtables = _group_chunks(pmeta, ptables)
+        sd = sd.replace(pmeta=pmeta, ptables=ptables,
+                        pgroups_meta=gmeta, pgroups=gtables)
     return sd
+
+
+def _group_chunks(pmeta, ptables):
+    """Group consecutive chunks with EQUAL metas and stack their tables
+    along a leading chunk axis, so the tracer dispatches one
+    pallas_trace_grouped launch per group instead of one pallas_trace per
+    chunk (launch latency dominates narrow stack-phase batches).  By
+    construction (_pack_chunked pads per-family row counts equal) a
+    multi-chunk scene groups as [chunk 0] + [finite chunks] when it has
+    infinite leaves (inf_gids differ), else as one group."""
+    gmeta, gtables = [], []
+    i = 0
+    while i < len(pmeta):
+        j = i
+        while j + 1 < len(pmeta) and pmeta[j + 1] == pmeta[i]:
+            j += 1
+        gmeta.append((pmeta[i], j - i + 1))
+        # [m, 1, L]: the singleton axis lets the grouped kernel's SMEM
+        # BlockSpec squeeze to a 1-D per-chunk ref while its last-two
+        # block dims (1, L) equal the array's (Mosaic's SMEM block rule)
+        gtables.append(tuple(
+            np.stack([ptables[c][t] for c in range(i, j + 1)])[:, None, :]
+            for t in range(len(ptables[i]))))
+        i = j + 1
+    return tuple(gmeta), tuple(gtables)
 
 
 _SMEM_BUDGET = 480 * 1024   # bytes of per-object SMEM tables per kernel call

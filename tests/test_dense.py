@@ -155,6 +155,45 @@ def test_box_cull_conservative_random_dirs():
     assert (mp[agree] == mj[agree]).mean() > 0.999
 
 
+def test_grouped_chunks_with_infinite_leaves(monkeypatch):
+    """Scenes with INFINITE leaves chunk into [chunk 0 (holds the
+    infinites)] + [finite-only chunks]; chunk 0's meta differs (inf_gids),
+    so the grouped single-launch path (pallas_trace_grouped) must thread
+    its winner across TWO groups.  Force chunking on the flagship balls
+    scene (infinite hplane floor) with a tiny SMEM budget and require
+    closest hits identical to the unchunked build."""
+    from ndt_tpu.render import trace as trace_mod
+    from ndt_tpu.scene import compile as compile_mod
+
+    scn, o, v = _scene_rays("balls", 4, 96, 72)
+    sd1 = compile_scene(scn, np.float32)
+    assert len(sd1.pmeta) == 1
+    monkeypatch.setattr(compile_mod, "_SMEM_BUDGET", 11 * 1024)
+    sdn = compile_scene(scn, np.float32)
+    assert len(sdn.pmeta) >= 3
+    assert len(sdn.pgroups_meta) == 2          # [chunk0], [finite chunks]
+    assert sdn.pgroups_meta[1][1] >= 2
+
+    trace_mod.set_trace_impl("pallas-interpret")
+    try:
+        h1, t1, m1 = _trace_hits(sd1, o, v)
+        hn, tn, mn = _trace_hits(sdn, o, v)
+        # SHADOW mode too: the grouped kernel's rank-truncation pass and
+        # chunk accumulation share no code with closest mode's
+        lim = jnp.full((o.shape[0],), 60.0, jnp.float32)
+        s1 = trace_mod.shadow_trace(sd1, o, v, lim)
+        sn = trace_mod.shadow_trace(sdn, o, v, lim)
+    finally:
+        trace_mod.set_trace_impl("auto")
+    assert h1.any()
+    np.testing.assert_array_equal(h1, hn)
+    np.testing.assert_allclose(t1[h1], tn[h1], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(m1[h1], mn[h1])
+    np.testing.assert_array_equal(np.asarray(s1.hit), np.asarray(sn.hit))
+    np.testing.assert_array_equal(np.asarray(s1.mat_id),
+                                  np.asarray(sn.mat_id))
+
+
 @pytest.mark.slow
 def test_dense_random600_sandwich_anchors_to_c_golden():
     """Anchor the >_KD_EXACT_MAX fallback regime to the C binary itself
