@@ -1591,10 +1591,23 @@ def cull_lists(params, o, v, meta, live=None, limit=None,
         # (or below with none moving up): the slab is never entered at any
         # t >= 0.  VL/VH comparisons are exact (no tolerance): a ray with
         # any motion toward the slab keeps the candidate.
-        box_never |= (n2h < 0.0) & (VL >= 0.0)
-        box_never |= (n1l > 0.0) & (VH <= 0.0)
-    box_ok = ~((box_elo > box_xhi + EPSILON)
-               | (box_xhi < -EPSILON) | box_never)
+        # f32 rounding of n = b - o scales with the operand magnitudes
+        # (~1.2e-7 * max(|o|, |b|)), which outgrows the boxes' absolute
+        # aabb_pad once origins sit far from the scene (e.g. bounce rays
+        # spawned ~1e5 units out): pad the comparison by a
+        # magnitude-scaled slack so a borderline slab can't falsely cull
+        sd = 1e-6 * (jnp.maximum(jnp.abs(o_lo[:, None, d]),
+                                 jnp.abs(o_hi[:, None, d]))
+                     + jnp.maximum(jnp.abs(blo[None, :, d]),
+                                   jnp.abs(bhi[None, :, d])))
+        box_never |= (n2h < -sd) & (VL >= 0.0)
+        box_never |= (n1l > sd) & (VH <= 0.0)
+    # the t-compare slack is relative to the computed t values (slab-entry
+    # rounding scales with t, ~1.2e-7 * t; 1e-5 gives ~80x margin) plus
+    # the absolute EPSILON for near-zero t
+    tslack = EPSILON + 1e-5 * jnp.abs(box_xhi)
+    box_ok = ~((box_elo > box_xhi + tslack)
+               | (box_xhi < -tslack) | box_never)
     may_hit &= box_ok
     # min distance from the tile's origin box to the sphere center
     straddle = (oc_lo <= 0.0) & (oc_hi >= 0.0)

@@ -342,11 +342,7 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
     # chunk partition that makes the per-tile chunk culls fire
     from ndt_tpu.render.pallas_trace import pallas_trace_grouped
 
-    if scene.pgroups_meta is None:       # SceneData from an older pack
-        groups = tuple(((m, 1), tuple(tb[None, None] for tb in tabs))
-                       for m, tabs in zip(scene.pmeta, scene.ptables))
-    else:
-        groups = tuple(zip(scene.pgroups_meta, scene.pgroups))
+    groups = _chunk_groups(scene)
     t = mat = nrm = props = None
     for (meta_g, m_g), tables_g in groups:
         if t is None:
@@ -376,6 +372,19 @@ def _pallas_closest(scene, o, v, mode, exclude_mat=None,
     return t, hit, mat, nrm, props
 
 
+def _chunk_groups(scene):
+    """((meta, m), stacked_tables) chunk groups for the grouped kernel.
+
+    compile_scene always packs pgroups alongside pmeta (f32), so a missing
+    pgroups_meta means a stale or hand-built SceneData whose table layout
+    (e.g. a pre-AABB-cull 16-entry ptable) the kernels can no longer read;
+    fail loudly instead of guessing."""
+    if scene.pgroups_meta is None:
+        raise ValueError(
+            "SceneData lacks chunk groups: rebuild it with compile_scene")
+    return tuple(zip(scene.pgroups_meta, scene.pgroups))
+
+
 def _pad_live(live, R_pad, R):
     if live is None:
         return None
@@ -399,11 +408,7 @@ def _pallas_shadow(scene, o, v, limit, mode, live=None):
     # closest hits with cross-chunk early-exit pruning
     from ndt_tpu.render.pallas_trace import pallas_trace_grouped
 
-    if scene.pgroups_meta is None:       # SceneData from an older pack
-        groups = tuple(((m, 1), tuple(tb[None, None] for tb in tabs))
-                       for m, tabs in zip(scene.pmeta, scene.ptables))
-    else:
-        groups = tuple(zip(scene.pgroups_meta, scene.pgroups))
+    groups = _chunk_groups(scene)
     t = mat = None
     for (meta_g, m_g), tables_g in groups:
         init = None if t is None else (t, mat)

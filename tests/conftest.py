@@ -34,6 +34,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _reset_scene_state():
+    """Reset every stateful scene module after each test.
+
+    The reference's stateful scenes (balls' physics array, nelder-mead's
+    optimizer history) persist across scene_setup calls by design
+    (balls.c:29-37); a test that builds such a scene without calling
+    scene_cleanup() would otherwise advance the state the NEXT in-process
+    test sees, making serial runs order-dependent (VERDICT r4: the
+    balls-state pollution between test_dense and test_distributed)."""
+    yield
+    import sys
+
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("ndt_tpu.scenes.") and mod is not None:
+            cleanup = getattr(mod, "scene_cleanup", None)
+            if cleanup is not None:
+                cleanup()
+
+
 @pytest.fixture(scope="session")
 def golden_dir():
     return os.path.join(os.path.dirname(__file__), "goldens")
