@@ -130,16 +130,19 @@ def _node_budget(opts: RenderOptions, has_transparent: bool) -> int:
 
 
 # stack-mode nodes popped (and traced/shaded as one batch) per loop
-# iteration -- see _stack_loop; 1 = the sequential reference behavior
-_STACK_POP = int(os.environ.get("NDT_STACK_POP", 4))
+# iteration -- see _stack_loop; 1 = the sequential reference behavior and
+# the measured default: K > 1 only compresses iterations when lane stacks
+# are DEEP (>= K pending nodes), but the refraction tail is dominated by
+# sp <= 2 lanes, so K = 4 padded ~3 dummy sub-lanes into every trace for
+# no iteration win (TPU A/B, anim6d 640x480 all-stack: K=1 0.030 s/frame
+# vs K=4 0.152 -- r4's measured "win" was an artifact of the einsum
+# divergence documented in _stack_loop).
+_STACK_POP = int(os.environ.get("NDT_STACK_POP", 1))
 
-# batched pops only engage at loop widths <= this (f32): popping K nodes
-# traces an R*K-wide batch per iteration, which is a WIN when the width is
-# small enough that fixed per-kernel launch latency dominates (the
-# escalation ladder's narrow tails) and a LOSS at full frame width, where
-# kernels are compute-bound and most lanes hold a single-node stack -- the
-# K-1 dummy sub-lanes then quadruple real trace work (BENCH_r04's anim6d
-# regression, VERDICT r4 weak 1).  Measured on the TPU bench harness.
+# when K > 1 is requested, batched pops engage only at loop widths <=
+# this (f32): at full frame width the K-1 dummy sub-lanes of shallow
+# stacks multiply real compute; at narrow (launch-latency-bound) widths
+# the padding is cheaper
 _STACK_POP_WMAX = int(os.environ.get("NDT_STACK_POP_WMAX", 1 << 15))
 
 # stack-mode (refractive) rays carry a [stack_size, D] pending-node stack
@@ -800,7 +803,15 @@ def _stack_loop(scene, R, dt, opts):
 
     Per-row dynamic gather/scatter (st[rows, j]) lowers to TPU scatter,
     which serializes (measured 243 ms/iter at R=327k); the pop/push here
-    are one-hot einsums over the small S axis instead."""
+    are one-hot where/sum selects over the small S axis, unrolled over
+    the K popped (2K pushed) slots so XLA fuses each into a single VPU
+    pass over the stack.  NOT einsums: a one-hot einsum lowers to a
+    batched MXU matmul that (a) pads the tiny [S, W] per-lane matrices
+    up to the 128x128 systolic tile and (b) truncates the contracted
+    operands to bf16 -- every pop then rounded the stored ray
+    origins/directions, bounce rays drifted off their true geometry,
+    and refraction chains self-intersected chaotically (BENCH_r04's
+    anim6d regression: 2.9x the nodes AND a diverged image, TPU-only)."""
     S = opts.stack_size
     K = (min(_STACK_POP, S)
          if jnp.dtype(dt) == jnp.float32 and R <= _STACK_POP_WMAX else 1)
@@ -827,9 +838,14 @@ def _stack_loop(scene, R, dt, opts):
             jnp.maximum(1, (S - sp) // 2)) if K > 1 else jnp.minimum(sp, 1)
         pslot = sp[:, None] - 1 - kks[None, :]           # [R, K]
         pvalid = kks[None, :] < k_allow[:, None]         # [R, K]
-        oh = ((sidx[None, :, None] == pslot[:, None, :])
-              & pvalid[:, None, :])                      # [R, S, K]
-        cur = jnp.einsum("rsk,rsw->rkw", oh.astype(dt), st)  # [R, K, W]
+        # one-hot select per popped slot, K unrolled reduces over S (see
+        # docstring for why this must not be an einsum); all K fuse into
+        # one VPU pass over st
+        cur = jnp.stack(
+            [jnp.where(((sidx[None, :] == pslot[:, kk:kk + 1])
+                        & pvalid[:, kk:kk + 1])[:, :, None],
+                       st, 0).sum(axis=1)
+             for kk in range(K)], axis=1)                # [R, K, W]
         co = cur[..., :D].reshape(R * K, D)
         cv = cur[..., D:2 * D].reshape(R * K, D)
         cw = cur[..., 2 * D:2 * D + 3].reshape(R * K, 3)
@@ -923,16 +939,17 @@ def _stack_loop(scene, R, dt, opts):
         pos = jnp.cumsum(okc.astype(jnp.int32), axis=1) - 1
         slot = base[:, None] + pos                       # [R, C]
         placed = okc & (slot < S)
-        ohc = ((sidx[None, None, :] == slot[:, :, None])
-               & placed[:, :, None])                     # [R, C, S]
-        # rejected candidates can hold NaNs (refract of an opaque hit,
-        # bounce math of a dead lane's zero ray); a plain einsum would
-        # propagate them through the 0-weighted sum into every slot of the
-        # lane's new stack, so zero them first (the sequential push's
-        # jnp.where discarded them implicitly)
-        cand = jnp.where(placed[:, :, None], cand, 0)
-        st = (jnp.where(sidx[None, :, None] < base[:, None, None], st, 0)
-              + jnp.einsum("rcs,rcw->rsw", ohc.astype(dt), cand))
+        # one-hot placement per candidate, C unrolled select-adds (fused
+        # into one VPU pass; see docstring for why not an einsum).
+        # Rejected candidates can hold NaNs (refract of an opaque hit,
+        # bounce math of a dead lane's zero ray) -- the where never
+        # selects them, exactly like the sequential push's jnp.where.
+        st = jnp.where(sidx[None, :, None] < base[:, None, None], st, 0)
+        for c in range(cand.shape[1]):
+            ohc_c = ((sidx[None, :] == slot[:, c:c + 1])
+                     & placed[:, c:c + 1])               # [R, S]
+            st = st + jnp.where(ohc_c[:, :, None],
+                                cand[:, c, None, :], 0)
         sp2 = jnp.minimum(base + okc.sum(axis=1, dtype=jnp.int32), S)
 
         return (it + 1, sp2, st, color, depth, nrays, key)

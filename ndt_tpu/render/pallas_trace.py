@@ -1555,6 +1555,7 @@ def cull_lists(params, o, v, meta, live=None, limit=None,
     aabb = params[16].reshape(-1, 2, D)
     blo = aabb[:, 0, :]                        # [N, D]
     bhi = aabb[:, 1, :]
+    use_box = _os.environ.get("NDT_BOX_CULL", "1") != "0"
     box_elo = jnp.full(may_hit.shape, -BIG, jnp.float32)
     box_xhi = jnp.full(may_hit.shape, BIG, jnp.float32)
     box_never = jnp.zeros(may_hit.shape, bool)
@@ -1608,7 +1609,8 @@ def cull_lists(params, o, v, meta, live=None, limit=None,
     tslack = EPSILON + 1e-5 * jnp.abs(box_xhi)
     box_ok = ~((box_elo > box_xhi + tslack)
                | (box_xhi < -tslack) | box_never)
-    may_hit &= box_ok
+    if use_box:
+        may_hit &= box_ok
     # min distance from the tile's origin box to the sphere center
     straddle = (oc_lo <= 0.0) & (oc_hi >= 0.0)
     m = jnp.where(straddle, 0.0,
