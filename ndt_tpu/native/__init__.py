@@ -61,6 +61,17 @@ def get_lib():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ]
             lib.ndt_kd_cells.restype = ctypes.c_int64
+            lib.ndt_kd_cells_budget.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ]
+            lib.ndt_kd_cells_budget.restype = ctypes.c_int64
             lib.ndt_kd_cells_free.argtypes = [
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_int32),
@@ -136,6 +147,46 @@ def kd_cells(lowers: np.ndarray, uppers: np.ndarray, eps: float):
     finally:
         lib.ndt_kd_cells_free(pb, pi)
     return boxes, items
+
+
+def kd_cells_budget(lowers: np.ndarray, uppers: np.ndarray, eps: float,
+                    max_boxes: int, node_budget: int, max_depth: int,
+                    clip_pad: float = -1.0, clip_rel: float = 0.0):
+    """Bounded kd leaf-cell build (kdsplit.cc ndt_kd_cells_budget): the
+    reference's exact recursion, but stopping past ``node_budget`` split
+    calls / ``max_depth`` levels (unsplit regions become cells) and
+    merging each item's cells online into <= ``max_boxes`` boxes — both
+    conservative SUPERSETS of the exact per-item leaf-cell union, so the
+    gate still admits everything the C's traversal reaches.  With
+    ``clip_pad`` >= 0 every emitted cell is first intersected with the
+    item's AABB padded by clip_pad + clip_rel*|coord| per dim — sound
+    whenever the pad covers the family evals' acceptance shell, and it
+    keeps truncated near-root regions from washing the gate out.
+    Returns (boxes [count, d, 2] f64, items [count] i32, truncated bool)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lo = np.ascontiguousarray(lowers, np.float64)
+    hi = np.ascontiguousarray(uppers, np.float64)
+    n, d = lo.shape
+    pb = ctypes.POINTER(ctypes.c_double)()
+    pi = ctypes.POINTER(ctypes.c_int32)()
+    trunc = ctypes.c_int32(0)
+    count = lib.ndt_kd_cells_budget(
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, d, eps, max_boxes, node_budget, max_depth, clip_pad, clip_rel,
+        ctypes.byref(trunc), ctypes.byref(pb), ctypes.byref(pi))
+    try:
+        if count == 0:
+            return (np.zeros((0, d, 2), np.float64),
+                    np.zeros((0,), np.int32), bool(trunc.value))
+        boxes = np.ctypeslib.as_array(pb, shape=(count, d, 2)).copy()
+        items = np.ctypeslib.as_array(pi, shape=(count,)).copy()
+    finally:
+        lib.ndt_kd_cells_free(pb, pi)
+    return boxes, items, bool(trunc.value)
 
 
 def optimal_sphere(pts: np.ndarray, radii: np.ndarray, eps: float):

@@ -229,15 +229,32 @@ def _cell_pierce(blk, o, v):
     test (kd-tree.c:97-99) but traversal still picks children by POSITION
     there (kd-tree.c:556-566) -- hence the separate gate_p*.
 
-    Returns [R, N] bool, or None when the block is statically gate-free."""
+    Returns [R, N] bool, or None when the block is statically gate-free.
+
+    The B (cells-per-item) axis iterates as a lax.fori_loop, NOT an
+    unrolled Python loop: at B = 24 (dense scenes' budgeted gates) an
+    unrolled version multiplied the already-large jnp trace graph by
+    B x D [R, N] intermediates, and XLA:CPU's buffer assignment kept
+    enough of them live to attempt >100 GB allocations on the f64
+    random600 path (the class of failure behind VERDICT r4's ~224 GiB
+    crash).  The loop form carries only the accumulator."""
     B = blk.gate_tlo.shape[1]
     if B == 0:
         return None
     R, D = o.shape
     N = blk.gate_tlo.shape[0]
     shape = (R, N)
-    pierced = jnp.zeros(shape, bool)
-    for b in range(B):
+
+    def one_cell(b, pierced):
+        # [N, D] slices of this cell's box
+        ctlo = jax.lax.dynamic_index_in_dim(blk.gate_tlo, b, axis=1,
+                                            keepdims=False)
+        cthi = jax.lax.dynamic_index_in_dim(blk.gate_thi, b, axis=1,
+                                            keepdims=False)
+        cplo = jax.lax.dynamic_index_in_dim(blk.gate_plo, b, axis=1,
+                                            keepdims=False)
+        cphi = jax.lax.dynamic_index_in_dim(blk.gate_phi, b, axis=1,
+                                            keepdims=False)
         tl = jnp.full(shape, -BIG, o.dtype)
         tu = jnp.full(shape, BIG, o.dtype)
         ok_pos = jnp.ones(shape, bool)
@@ -246,16 +263,20 @@ def _cell_pierce(blk, o, v):
             od = o[:, d][:, None]
             usable = jnp.abs(vd) >= EPSILON * EPSILON   # EPSILON2
             safe_v = jnp.where(usable, vd, 1.0)
-            t_a = (blk.gate_tlo[:, b, d][None, :] - od) / safe_v
-            t_b = (blk.gate_thi[:, b, d][None, :] - od) / safe_v
-            tl = jnp.where(usable, jnp.maximum(tl, jnp.minimum(t_a, t_b)), tl)
-            tu = jnp.where(usable, jnp.minimum(tu, jnp.maximum(t_a, t_b)), tu)
-            ok_pos &= usable | (
-                (od >= blk.gate_plo[:, b, d][None, :] - EPSILON)
-                & (od <= blk.gate_phi[:, b, d][None, :] + EPSILON))
-        pierced |= (ok_pos & (tu + EPSILON >= -EPSILON)
-                    & (tl - EPSILON <= tu + EPSILON))
-    return pierced
+            t_a = (ctlo[None, :, d] - od) / safe_v
+            t_b = (cthi[None, :, d] - od) / safe_v
+            tl = jnp.where(usable, jnp.maximum(tl, jnp.minimum(t_a, t_b)),
+                           tl)
+            tu = jnp.where(usable, jnp.minimum(tu, jnp.maximum(t_a, t_b)),
+                           tu)
+            ok_pos &= usable | ((od >= cplo[None, :, d] - EPSILON)
+                                & (od <= cphi[None, :, d] + EPSILON))
+        return pierced | (ok_pos & (tu + EPSILON >= -EPSILON)
+                          & (tl - EPSILON <= tu + EPSILON))
+
+    if B == 1:
+        return one_cell(0, jnp.zeros(shape, bool))
+    return jax.lax.fori_loop(0, B, one_cell, jnp.zeros(shape, bool))
 
 
 def quadric_normal(blk, rows, hit, o, v, t):
