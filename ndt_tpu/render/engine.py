@@ -978,6 +978,9 @@ def _render_rays_stack(scene: SceneData, o, v, key, opts: RenderOptions,
     if R != R0:
         dead = jnp.arange(R) >= R0
     if live0 is not None:
+        if live0.shape[0] != R:           # pad lanes are dead by definition
+            live0 = jnp.concatenate(
+                [live0, jnp.zeros((R - live0.shape[0],), bool)])
         lv = live0 if dead is None else (live0 & ~dead)
         dead = ~lv
     if dead is not None:

@@ -155,7 +155,8 @@ def _plane_eval(pln_ref, n, o, v, D, want_normal):
 
 
 def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref,
-                  qgt_ref, qgp_ref, n, o, v, D, A, B, want_normal):
+                  qgi_ref, qgt_ref, qgp_ref, n, o, v, D, A, B,
+                  want_normal):
     base = [qb_ref[n * D + d] for d in range(D)]
     ax = [[qa_ref[n * A * D + i * D + d] for d in range(D)] for i in range(A)]
     lo = [ql_ref[n * A + i] for i in range(A)]
@@ -219,14 +220,19 @@ def _quadric_eval(qb_ref, qa_ref, ql_ref, qh_ref, qo_ref, qs_ref,
     # only tests a slab when the ray pierces a leaf cell containing its kd
     # item, which bounds the orthotope's EPSILON-shell halo.  B == 1 with
     # +/-BIG boxes when the scene has no slabs (no-op, folded by XLA).
+    # Gate boxes are DEDUPED per kd item (pack_params): all rows of one
+    # item -- e.g. the ~130 expanded faces of a 5-D hcube -- share one
+    # table entry through the qgi slot index, which cuts the dominant
+    # SMEM cost of gated dense scenes ~5x (and with it the chunk count).
     if B:
+        gi = qgi_ref[n]
         pierced = None
         for b in range(B):
             tl = jnp.full(t.shape, -BIG)
             tu = jnp.full(t.shape, BIG)
             ok_pos = jnp.ones(t.shape, bool)
             for d in range(D):
-                w = (n * B + b) * D + d
+                w = (gi * B + b) * D + d
                 usable = jnp.abs(v[d]) >= EPSILON * EPSILON   # EPSILON2
                 safe_v = jnp.where(usable, v[d], 1.0)
                 t_a = (qgt_ref[2 * w] - o[d]) / safe_v
@@ -553,7 +559,7 @@ def _gid_fam(meta: PallasMeta, gid):
 
 
 N_FAMS = 5   # cull-count columns (sph, pln, quad, fct, hf)
-N_KERNEL_TABLES = 16  # params[:16] feed the kernels; [16] is the cull AABB
+N_KERNEL_TABLES = 17  # params[:17] feed the kernels; [17] is the cull AABB
 
 
 def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
@@ -581,8 +587,8 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
     NOTINF = (1 << 30) - 1  # python literal; captured jnp consts are disallowed
 
     def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
-               qoff_ref, qslab_ref, qgt_ref, qgp_ref, fct_ref, hf_ref,
-               mat_ref, rank_ref, bnd_ref, prop_ref,
+               qoff_ref, qslab_ref, qgi_ref, qgt_ref, qgp_ref, fct_ref,
+               hf_ref, mat_ref, rank_ref, bnd_ref, prop_ref,
                lists_ref, counts_ref, reach_ref, live_ref,
                o_ref, v_ref, aux_ref, *rest):
         if has_init:
@@ -615,7 +621,7 @@ def _make_kernel(meta: PallasMeta, mode: str, interpret: bool = False,
                 "pln": lambda n: _plane_eval(pln_ref, n, o, v, D, normals),
                 "quad": lambda n: _quadric_eval(
                     qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
-                    qslab_ref, qgt_ref, qgp_ref, n, o, v, D, A,
+                    qslab_ref, qgi_ref, qgt_ref, qgp_ref, n, o, v, D, A,
                     meta.b_gate, normals),
                 "fct": lambda n: _facet_eval(fct_ref, n, o, v, D,
                                              meta.b_fct, normals),
@@ -896,8 +902,9 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
     nf = len(fused)
 
     def kernel(sph_ref, pln_ref, qbase_ref, qaxes_ref, qlo_ref, qhi_ref,
-               qoff_ref, qslab_ref, qgt_ref, qgp_ref, fct_ref, hf_ref,
-               mat_ref, rank_ref, bnd_ref, prop_ref, lvec_ref, *rest):
+               qoff_ref, qslab_ref, qgi_ref, qgt_ref, qgp_ref, fct_ref,
+               hf_ref, mat_ref, rank_ref, bnd_ref, prop_ref, lvec_ref,
+               *rest):
         n_area = fused.count("a")
         lists = rest[:nf]
         counts = rest[nf:2 * nf]
@@ -926,7 +933,7 @@ def _make_shade_kernel(meta: PallasMeta, fused: tuple, fused_spec: bool,
                 "pln": lambda n: _plane_eval(pln_ref, n, so, sv, D, False),
                 "quad": lambda n: _quadric_eval(
                     qbase_ref, qaxes_ref, qlo_ref, qhi_ref, qoff_ref,
-                    qslab_ref, qgt_ref, qgp_ref, n, so, sv, D, A,
+                    qslab_ref, qgi_ref, qgt_ref, qgp_ref, n, so, sv, D, A,
                     meta.b_gate, False),
                 "fct": lambda n: _facet_eval(fct_ref, n, so, sv, D,
                                              meta.b_fct, False),
@@ -1306,15 +1313,30 @@ def pack_params(scene):
             np.clip(base64 + np.minimum(t1, t2).sum(1) - rp, -BIG, BIG),
             np.clip(base64 + np.maximum(t1, t2).sum(1) + rp, -BIG, BIG)))
         B = quad.gate_tlo.shape[1]          # 0 = slab-free, gate skipped
-        # interleaved lo/hi per (object, box, dim): qgt[2w]=lo, qgt[2w+1]=hi
+        # interleaved lo/hi per (slot, box, dim): qgt[2w]=lo, qgt[2w+1]=hi.
+        # Gate boxes come from an item's kd leaf-cell union, so every row
+        # of the same kd item (e.g. all ~130 expanded faces of a 5-D
+        # hcube) carries an IDENTICAL box set: dedupe byte-equal rows into
+        # slots and index them through qgi.  On random150 this shrinks the
+        # gate tables from 80% of the quadric SMEM cost to a side table,
+        # dropping the scene from 8 SMEM chunks to 2 (the bounce tail pays
+        # per chunk per iteration, so dense frames track the chunk count).
         if B:
             qgt = np.stack([np.asarray(quad.gate_tlo, f32),
                             np.asarray(quad.gate_thi, f32)], axis=-1)
             qgp = np.stack([np.asarray(quad.gate_plo, f32),
                             np.asarray(quad.gate_phi, f32)], axis=-1)
+            both = np.concatenate([qgt.reshape(n_q, -1),
+                                   qgp.reshape(n_q, -1)], axis=1)
+            _, slots, qgi = np.unique(both, axis=0, return_index=True,
+                                      return_inverse=True)
+            qgi = qgi.reshape(-1).astype(np.int32)
+            qgt = qgt[slots]
+            qgp = qgp[slots]
         else:
             qgt = np.zeros((1, 1, D, 2), f32)
             qgp = qgt
+            qgi = np.zeros(n_q, np.int32)
     else:
         A = 1
         B = 1
@@ -1324,6 +1346,7 @@ def pack_params(scene):
         qhi = np.zeros((1, 1), f32)
         qoff = np.zeros((1, 1), f32)
         qslab = np.zeros((1, 1), f32)
+        qgi = np.zeros(1, np.int32)
         qgt = np.stack([np.full((1, 1, D), -BIG, f32),
                         np.full((1, 1, D), BIG, f32)], axis=-1)
         qgp = qgt
@@ -1454,11 +1477,11 @@ def pack_params(scene):
         b_fct=B_f,
         b_hf=B_h,
     )
-    # aabb_tab (index 16) is consumed by cull_lists only; pallas calls
-    # strip params down to the 16 kernel tables (params[:N_KERNEL_TABLES])
+    # aabb_tab (index 17) is consumed by cull_lists only; pallas calls
+    # strip params down to the 17 kernel tables (params[:N_KERNEL_TABLES])
     return meta, (sph_tab.ravel(), pln_tab.ravel(), qbase.ravel(),
                   qaxes.ravel(), qlo.ravel(), qhi.ravel(), qoff.ravel(),
-                  qslab.ravel(), qgt.ravel(), qgp.ravel(),
+                  qslab.ravel(), qgi, qgt.ravel(), qgp.ravel(),
                   fct_tab.ravel(), hf_tab.ravel(),
                   mat_tab, rank_tab, bnd_tab.ravel(),
                   prop_tab.ravel(), aabb_tab.ravel())
@@ -1493,7 +1516,7 @@ def cull_lists(params, o, v, meta, live=None, limit=None,
     (kd-tree.c:534-590), exact because a later object cannot beat a closer
     winner."""
     R, D = o.shape
-    bnd = params[14].reshape(-1, D + 1)       # center + r2 (-1 = infinite)
+    bnd = params[15].reshape(-1, D + 1)       # center + r2 (-1 = infinite)
     n_tiles = R // RT
     o_t = o.reshape(n_tiles, RT, D)
     v_t = v.reshape(n_tiles, RT, D)
@@ -1540,7 +1563,7 @@ def cull_lists(params, o, v, meta, live=None, limit=None,
     r = jnp.sqrt(jnp.maximum(r2, 0.0))[None, :]
     may_hit = (perp2_lo <= r2[None, :]) & ((-voc_lo + r) >= EPSILON)
 
-    # geometry-AABB slab test (params[16], packed in pack_params): per
+    # geometry-AABB slab test (params[17], packed in pack_params): per
     # (tile, leaf), interval bounds on each ray's slab entry/exit give
     # Elo <= min over dims' far-crossing hull and Xhi >= ... such that
     # for EVERY ray in the tile, enter(ray) >= max_d Elo_d and
@@ -1552,7 +1575,7 @@ def cull_lists(params, o, v, meta, live=None, limit=None,
     # cylinders): ~10x fewer survivors on dense random scenes.  Boxes are
     # pre-widened (aabb_pad) so EPSILON shells stay inside; comparisons
     # carry additional slack for f32 interval rounding.
-    aabb = params[16].reshape(-1, 2, D)
+    aabb = params[17].reshape(-1, 2, D)
     blo = aabb[:, 0, :]                        # [N, D]
     bhi = aabb[:, 1, :]
     use_box = _os.environ.get("NDT_BOX_CULL", "1") != "0"

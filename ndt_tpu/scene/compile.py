@@ -895,10 +895,12 @@ def _pack_chunked(sd: "SceneData"):
     B = 0 if sd.quadrics is None else sd.quadrics.gate_tlo.shape[1]
     B_f = 0 if sd.facets is None else sd.facets.gate_tlo.shape[1]
     B_h = 0 if sd.hfacets is None else sd.hfacets.gate_tlo.shape[1]
+    # quadric gate boxes are DEDUPED per kd item at pack time
+    # (pack_params): rows carry a 4-byte slot index (qgi) and each UNIQUE
+    # box set costs 4*B*D*4 bytes once per chunk that references it
     cost = {"spheres": 4 * ((D + 1) + 2 + (D + 1)),
             "planes": 4 * ((2 * D + 1) + 2 + (D + 1)),
-            "quadrics": 4 * ((D + A * D + 2 * A + 2) + 4 * B * D + 2
-                             + (D + 1)),
+            "quadrics": 4 * ((D + A * D + 2 * A + 2) + 1 + 2 + (D + 1)),
             # widths: pallas_trace _facet_width/_hfacet_width + mat/rank
             # + bounds
             "facets": 4 * ((10 * D + 11 + 4 * B_f * D) + 2 + (D + 1)),
@@ -906,14 +908,26 @@ def _pack_chunked(sd: "SceneData"):
     # every object row additionally costs one per-tile cull-list slot
     # (int32) and one reach slot (f32) of SMEM in the kernel call
     cost = {f: c + 8 for f, c in cost.items()}
+    n_slots = 0
+    if B:
+        q = sd.quadrics
+        both = np.concatenate(
+            [np.asarray(q.gate_tlo, np.float32).reshape(len(q.mat_id), -1),
+             np.asarray(q.gate_thi, np.float32).reshape(len(q.mat_id), -1),
+             np.asarray(q.gate_plo, np.float32).reshape(len(q.mat_id), -1),
+             np.asarray(q.gate_phi, np.float32).reshape(len(q.mat_id), -1)],
+            axis=1)
+        n_slots = len(np.unique(both, axis=0))
+    slot_cost = 4 * 4 * B * D              # one deduped box set (t+p boxes)
     budget = _SMEM_BUDGET - 4 * N_PROPS * sd.n_materials - 4096
     if budget < 4 * max(cost.values()):
         raise ValueError(
             f"SMEM budget too small for the material table "
             f"({sd.n_materials} materials); raise _SMEM_BUDGET")
 
-    total = sum(cost[f] * getattr(sd, f).mat_id.shape[0]
-                for f in cost if getattr(sd, f) is not None)
+    total = (sum(cost[f] * getattr(sd, f).mat_id.shape[0]
+                 for f in cost if getattr(sd, f) is not None)
+             + n_slots * slot_cost)
     if total <= budget:
         meta, tables = pack_params(sd)
         return (meta,), (tables,)
@@ -957,10 +971,26 @@ def _pack_chunked(sd: "SceneData"):
         n_chunks += 1
         padded = sum(cost[f] * -(-len(fin_rows[f]) // n_chunks)
                      for f in fams)
+        # deduped gate table per chunk: spatial chunking keeps one item's
+        # rows together, so a chunk references ~n_slots/n_chunks unique
+        # box sets (x2 straddle slack); chunks pad to the group max, and
+        # the post-pack size check below catches any underestimate
+        padded += slot_cost * min(n_slots, 2 * -(-n_slots // n_chunks))
         if padded + inf_cost <= budget:
             break
         if n_chunks > sum(len(i) for i in fin_rows.values()):
             raise ValueError("SMEM budget too small for one object row")
+
+    return _pack_chunk_split(sd, fams, inf_rows, fin_rows, n_chunks)
+
+
+def _pack_chunk_split(sd, fams, inf_rows, fin_rows, n_chunks):
+    """Split rows into ``n_chunks`` spatial chunks and pack each.  The
+    deduped quadric gate tables (pack_params) make per-chunk SMEM size
+    depend on how many unique box sets a chunk references, which the cost
+    model only estimates -- so measure the PACKED tables and retry one
+    chunk larger until every chunk fits the budget."""
+    from ndt_tpu.render.pallas_trace import pack_params
 
     idxs = {fam: [np.concatenate([inf_rows[fam], s])
                   if ci == 0 and fam in inf_rows else s
@@ -1018,5 +1048,30 @@ def _pack_chunked(sd: "SceneData"):
                      if "hfacets" in fams else None))
         m, t = pack_params(sub)
         metas.append(m)
-        tables.append(t)
-    return tuple(metas), tuple(tables)
+        tables.append(list(t))
+
+    # chunks in a group stack their tables (_group_chunks), so the deduped
+    # gate tables (tuple indices 9 = qgt, 10 = qgp) must pad to the max
+    # slot count; zero padding is safe -- qgi never points past a chunk's
+    # real slots
+    for ti in (9, 10):
+        mx = max(len(t[ti]) for t in tables)
+        for t in tables:
+            if len(t[ti]) < mx:
+                t[ti] = np.concatenate(
+                    [t[ti], np.zeros(mx - len(t[ti]), t[ti].dtype)])
+
+    # measured SMEM per chunk: the object tables (0..15 -- everything the
+    # cost model's row costs cover; the material prop table and slack are
+    # subtracted from the budget, exactly as in the model) + one cull-list
+    # slot (int32) and one reach slot (f32) per padded row
+    n_rows = max(m.n_sph + m.n_pln + m.n_quad + m.n_fct + m.n_hf
+                 for m in metas)
+    worst = max(sum(tab.nbytes for tab in t[:16]) for t in tables)
+    meas_budget = _SMEM_BUDGET - tables[0][16].nbytes - 4096
+    if worst + 8 * n_rows > meas_budget:
+        if n_chunks > sum(len(i) for i in fin_rows.values()):
+            raise ValueError("SMEM budget too small for one object row")
+        return _pack_chunk_split(sd, fams, inf_rows, fin_rows,
+                                 n_chunks + 1)
+    return tuple(metas), tuple(tuple(t) for t in tables)

@@ -983,3 +983,58 @@ def test_stack_ladder_sparse_live0_keeps_depth():
     # live lanes must agree exactly; dead lanes are sliced off by callers
     np.testing.assert_array_equal(d0[:nlive], d4[:nlive])
     np.testing.assert_allclose(c0[:nlive], c4[:nlive], atol=1e-6)
+
+
+def test_escalation_nondivisible_width_pads_live0():
+    """render_rays on a TRANSPARENT scene at a width that doesn't divide
+    the compaction quantum: the escalation taint set (live0, caller-width
+    R0) must pad alongside the ray buffers before being ANDed with the
+    pad-lane mask.  Regression: `live0 & ~dead` raised a broadcast error
+    (307200 vs 327680) on every bench-shaped f32 escalated render --
+    e.g. random150 at 640x480 (engine._render_rays_stack)."""
+    from ndt_tpu.render.engine import gen_rays, render_rays
+    from ndt_tpu.render.pallas_trace import RT
+
+    scn = Scene("esc_pad", 4)
+    scn.ambient[:] = 0.2
+    lgt = scn.add_light()
+    lgt.pos = np.array([0.0, 50.0, 0.0, 0.0])
+    lgt.set_color(200, 200, 200)
+    floor = scn.add_object("hplane").set_color(.6, .6, .6) \
+        .set_reflect(.3, .3, .3)
+    floor.add_pos(np.array([0.0, -5.0, 0.0, 0.0]))
+    floor.add_dir(np.array([0.0, 1.0, 0.0, 0.0]))
+    glass = scn.add_object("sphere").set_color(.2, .2, .7)
+    glass.transparent = 1
+    glass.refract_index = 1.44
+    glass.add_pos(np.array([0.0, 2.0, -20.0, 0.0]))
+    glass.add_size(3.0)
+    scn.cam.set_aim(np.array([0.0, 5.0, 20.0, 0.0]), np.zeros(4),
+                    np.array([0.0, 10.0, 0.0, 0.0]), 0.0)
+    scn.cam.aim()
+
+    dt = np.float32
+    sd = compile_scene(scn, dt)
+    assert sd.has_transparent
+    cd = scn.cam.data(dt)
+    q = RT * 4 * 4
+    R = q + 512                    # NOT a quantum multiple
+    w, h = 512, R // 512
+    xx, yy = _pixel_grid(w, h, np.dtype(dt))
+    x, y = jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel())
+    key = jax.random.PRNGKey(5)
+
+    outs = {}
+    for compact in (0, 4):
+        opts = RenderOptions(width=w, height=h, samples=1, tile=R,
+                             compact=compact, max_optic_depth=6)
+        o, v = gen_rays(cd, x, y, key, opts, "center", False, False)
+        c, d, n = jax.jit(render_rays, static_argnames="opts")(
+            sd, o, v, key, opts)
+        outs[compact] = (np.asarray(c), np.asarray(d), int(n))
+    c0, d0, n0 = outs[0]
+    c4, d4, n4 = outs[4]
+    assert c4.shape == (R, 3) and d4.shape == (R,)
+    assert d0.max() > 0
+    np.testing.assert_array_equal(d0, d4)
+    np.testing.assert_allclose(c0, c4, atol=1e-6)
