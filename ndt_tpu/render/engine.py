@@ -861,6 +861,11 @@ def _stack_loop(scene, R, dt, opts):
         cv = jnp.where(valid[:, None], cv,
                        jnp.zeros_like(cv).at[:, 0].set(1.0))
 
+        # one skey per iteration, like the sequential loop's per-pop split.
+        # K > 1 does NOT correlate area-light samples across a lane's K
+        # nodes: sampling draws per POSITION of the flattened [R*K] batch
+        # (shade._sample_area_light samples with shape=r_shape), and the K
+        # nodes of a lane occupy K distinct positions.
         key, skey = jax.random.split(key)
         tr, fused_local = _trace_with_lights(scene, co, cv, valid,
                                              opts.specular, key=skey)
